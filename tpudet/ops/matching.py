@@ -1,0 +1,94 @@
+"""Fixed-shape target-assignment building blocks.
+
+The reference does per-image dynamic assignment with ``tf.boolean_mask`` /
+``tf.unique`` / ``SparseTensor`` tricks inside a ``tf.while_loop`` over the batch
+(SSD300.py:345-453, RetinaNet.py:380-474). Here the same semantics are expressed as
+masked dense ops over the padded ``[G=pad_truth_to, 5]`` ground truth and the full
+anchor set, so every head's assignment is a pure function that ``vmap``s over the
+batch and compiles once.
+
+Ground-truth contract (SURVEY.md §2.1): ``float32 [G, 5]`` rows of
+``[y_center, x_center, h, w, class_id]`` in input-image pixels, padded with -1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpudet.ops import boxes as box_ops
+
+
+def valid_gt_count(gt: jnp.ndarray) -> jnp.ndarray:
+    """Number of real (non-padding) ground-truth rows.
+
+    Replicates ``tf.argmin(ground_truth, axis=0)[0]`` (SSD300.py:347): the index of the
+    smallest ``y_center`` — which is the first -1 padding row whenever padding exists
+    (real centers are >= 0). The no-padding corner case (all G rows real) truncates at
+    the min-y row in the reference; we instead return G, documented as a fix of that
+    degenerate truncation (it only differs when an image has >= G objects).
+    """
+    g = gt.shape[0]
+    any_pad = jnp.any(gt[:, 0] < 0.0)
+    first_pad = jnp.argmin(gt[:, 0])
+    return jnp.where(any_pad, first_pad, g).astype(jnp.int32)
+
+
+class GtArrays(NamedTuple):
+    """Unpacked padded ground truth plus validity."""
+
+    yx: jnp.ndarray      # [G, 2]
+    hw: jnp.ndarray      # [G, 2]
+    y1x1: jnp.ndarray    # [G, 2]
+    y2x2: jnp.ndarray    # [G, 2]
+    label: jnp.ndarray   # [G] int32
+    valid: jnp.ndarray   # [G] bool
+    count: jnp.ndarray   # [] int32
+
+
+def unpack_gt(gt: jnp.ndarray) -> GtArrays:
+    """Split the padded ``[G, 5]`` gt into components with a validity mask."""
+    count = valid_gt_count(gt)
+    g = gt.shape[0]
+    valid = jnp.arange(g, dtype=jnp.int32) < count
+    yx = gt[:, 0:2]
+    hw = gt[:, 2:4]
+    y1x1, y2x2 = box_ops.center_to_corners(yx, hw)
+    label = gt[:, 4].astype(jnp.int32)
+    # Keep padded rows harmless: label 0, unit boxes far outside the image.
+    label = jnp.where(valid, label, 0)
+    return GtArrays(yx, hw, y1x1, y2x2, label, valid, count)
+
+
+def masked_iou_matrix(g: GtArrays, a_y1x1: jnp.ndarray, a_y2x2: jnp.ndarray) -> jnp.ndarray:
+    """``[G, A]`` IoU with padded-gt rows forced to 0 (they never match anything)."""
+    iou = box_ops.pairwise_iou(g.y1x1, g.y2x2, a_y1x1, a_y2x2)
+    return jnp.where(g.valid[:, None], iou, 0.0)
+
+
+def best_anchor_per_gt(iou: jnp.ndarray) -> jnp.ndarray:
+    """Index of the highest-IoU anchor for each gt row (``[G]`` int32).
+
+    Matches ``tf.argmax(gaiou_rate, axis=1)`` (SSD300.py:378); ties break to the
+    lowest anchor index like TF.
+    """
+    return jnp.argmax(iou, axis=1).astype(jnp.int32)
+
+
+def scatter_best_mask(best_idx: jnp.ndarray, gt_valid: jnp.ndarray, num_anchors: int) -> jnp.ndarray:
+    """``[A]`` bool — anchors claimed as some valid gt's best anchor.
+
+    Replaces the reference's ``tf.unique`` + sort + SparseTensor->dense trick
+    (SSD300.py:385-390) with a scatter.
+    """
+    hits = jnp.zeros((num_anchors,), jnp.int32).at[best_idx].add(gt_valid.astype(jnp.int32))
+    return hits > 0
+
+
+def best_gt_per_anchor(iou: jnp.ndarray, gt_valid: jnp.ndarray):
+    """Per-anchor ``(best_iou [A], best_gt_idx [A])`` over valid gt rows only."""
+    masked = jnp.where(gt_valid[:, None], iou, -1.0)
+    best_iou = jnp.max(masked, axis=0)
+    best_idx = jnp.argmax(masked, axis=0).astype(jnp.int32)
+    return best_iou, best_idx

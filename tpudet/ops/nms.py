@@ -1,0 +1,132 @@
+"""Fixed-shape greedy non-max suppression for TPU.
+
+The reference calls TF's C++ ``tf.image.non_max_suppression`` kernel sequentially per
+class on the host graph (SSD300.py:172-188 — a pattern repeated in 8 of the 10 models)
+and also uses NMS-on-loss for hard-negative mining (SSD300.py:430-434, SURVEY.md Q15).
+
+Here NMS is a static-shape XLA program: an iterative argmax-select / suppress loop
+(`lax.fori_loop`), vmappable over classes and batch so the whole decode runs as ONE
+device program instead of 20 sequential host-driven kernels. Semantics match TF:
+boxes are taken in descending score order (ties -> lowest index, like TF's stable sort)
+and a box is suppressed when its IoU with an already-selected box exceeds
+``iou_threshold`` (strictly greater).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpudet.ops import boxes as box_ops
+
+_NEG = -1e30
+
+
+def greedy_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+    iou_threshold: float,
+    active: jnp.ndarray | None = None,
+    num_select: jnp.ndarray | None = None,
+):
+    """Greedy NMS with static output shape.
+
+    Args:
+      boxes: ``[N, 4]`` corner boxes (y1, x1, y2, x2).
+      scores: ``[N]`` selection scores (any real values).
+      max_out: static upper bound on selections (loop trip count).
+      iou_threshold: suppress boxes with IoU strictly greater than this.
+      active: optional ``[N]`` bool — candidates; inactive boxes are never selected.
+      num_select: optional dynamic scalar — stop after this many selections (the
+        reference's ``chosen_num_neg`` in hard-negative mining is data dependent).
+
+    Returns:
+      ``(indices [max_out] int32, valid [max_out] bool)`` — selected box indices in
+      selection order, padded; ``valid`` marks real selections.
+    """
+    n = boxes.shape[0]
+    scores = jnp.where(active, scores, _NEG) if active is not None else scores
+    scores = scores.astype(jnp.float32)
+
+    def body(i, state):
+        avail_scores, sel_idx, sel_valid = state
+        j = jnp.argmax(avail_scores)
+        ok = avail_scores[j] > _NEG / 2
+        if num_select is not None:
+            ok = jnp.logical_and(ok, i < num_select)
+        iou = box_ops.iou_corner(boxes[j][None, :], boxes)
+        suppress = jnp.logical_and(ok, iou > iou_threshold)
+        suppress = suppress.at[j].set(ok)
+        avail_scores = jnp.where(suppress, _NEG, avail_scores)
+        sel_idx = sel_idx.at[i].set(j.astype(jnp.int32))
+        sel_valid = sel_valid.at[i].set(ok)
+        return avail_scores, sel_idx, sel_valid
+
+    init = (
+        scores,
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), bool),
+    )
+    _, sel_idx, sel_valid = jax.lax.fori_loop(0, max_out, body, init)
+    del n
+    return sel_idx, sel_valid
+
+
+def topk_then_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    active: jnp.ndarray,
+    pre_topk: int,
+    max_out: int,
+    iou_threshold: float,
+):
+    """Score-filtered NMS: keep the top ``pre_topk`` active candidates, then NMS.
+
+    Mirrors the reference inference pattern ``boolean_mask(score >= thr)`` followed by
+    per-class NMS (SSD300.py:172-188) in fixed shape. Because greedy NMS only ever
+    selects in descending score order, restricting to the top ``pre_topk`` candidates
+    is exact as long as fewer than ``pre_topk`` candidates pass the score filter.
+
+    Returns ``(sel_boxes [max_out,4], sel_scores [max_out], valid [max_out])``.
+    """
+    masked = jnp.where(active, scores, _NEG).astype(jnp.float32)
+    top_scores, top_idx = jax.lax.top_k(masked, pre_topk)
+    top_boxes = boxes[top_idx]
+    sel, valid = greedy_nms(
+        top_boxes, top_scores, max_out, iou_threshold,
+        active=top_scores > _NEG / 2,
+    )
+    return top_boxes[sel], top_scores[sel], valid
+
+
+def per_class_nms(
+    boxes: jnp.ndarray,
+    class_scores: jnp.ndarray,
+    score_threshold: float,
+    pre_topk: int,
+    max_out: int,
+    iou_threshold: float,
+    class_active: jnp.ndarray | None = None,
+):
+    """Class-parallel NMS over a shared box set.
+
+    Args:
+      boxes: ``[N, 4]`` decoded corner boxes (shared across classes).
+      class_scores: ``[C, N]`` per-class scores.
+      score_threshold: candidates must have ``score >= score_threshold``.
+      class_active: optional ``[N]`` bool applied to every class (e.g. the reference's
+        "argmax is not background" pre-filter, SSD300.py:160-162).
+
+    Returns:
+      ``(boxes [C, max_out, 4], scores [C, max_out], valid [C, max_out])``.
+    """
+    active = class_scores >= score_threshold
+    if class_active is not None:
+        active = jnp.logical_and(active, class_active[None, :])
+    fn = partial(
+        topk_then_nms, pre_topk=pre_topk, max_out=max_out, iou_threshold=iou_threshold
+    )
+    return jax.vmap(lambda s, a: fn(boxes, s, a))(class_scores, active)
