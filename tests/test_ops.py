@@ -156,8 +156,10 @@ class TestLosses:
         x = rng.normal(size=(50,)).astype(np.float64) * 3
         z = rng.uniform(0, 1, 50)
         want = -(z * np.log(1 / (1 + np.exp(-x))) + (1 - z) * np.log(1 - 1 / (1 + np.exp(-x))))
-        got = losses.sigmoid_cross_entropy(jnp.asarray(x), jnp.asarray(z))
-        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+        got = losses.sigmoid_cross_entropy(
+            jnp.asarray(x, jnp.float32), jnp.asarray(z, jnp.float32)
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
     def test_neg_log_iou_perfect_match_is_zero(self):
         t = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
