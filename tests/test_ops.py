@@ -163,7 +163,7 @@ class TestLosses:
 
     def test_neg_log_iou_perfect_match_is_zero(self):
         t = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
-        assert abs(float(losses.neg_log_iou(t, t))) < 1e-5
+        assert abs(float(losses.neg_log_iou(t, t)[0])) < 1e-5
 
     def test_penalty_reduced_focal_shapes(self):
         s = jnp.full((4, 4), 0.5)
