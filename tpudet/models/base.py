@@ -1,0 +1,227 @@
+"""DetectorBase: shared lifecycle for every model class.
+
+Reproduces the reference's per-model skeleton (SURVEY.md §2.2 — config parsing,
+``_define_inputs`` pixel-mean handling, saver pair, epoch loop with ``\\r`` progress,
+``test_one_image`` contract) on top of a jitted, data-parallel JAX runtime:
+
+  * one compiled train step per model: forward + loss + grads + optimizer update with
+    the learning rate as a traced scalar (the reference's ``lr`` placeholder);
+  * batch sharded over the ICI mesh's 'data' axis, params replicated, gradient
+    all-reduce inserted by XLA (replaces the absent distribution layer, §2.5);
+  * donated params/optimizer buffers to keep HBM usage flat;
+  * BatchNorm statistics updated inside the step (the reference's UPDATE_OPS group);
+  * weight decay = wd * sum(tf.nn.l2_loss(v)) over trainable params (SSD300.py:150-152)
+    folded into the loss so the reported loss matches the reference's.
+
+Config keys accepted per the reference drivers (testSSD300.py:21-32): mode,
+data_format, num_classes, weight_decay, keep_prob (accepted-and-unused, quirk Q17),
+batch_size, nms_score_threshold, nms_max_boxes, nms_iou_threshold, pretraining_weight.
+Extra tpudet keys: 'compute_dtype' ('float32' default | 'bfloat16' for MXU-friendly
+activations), 'seed'.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from tpudet.runtime import checkpoint as ckpt
+from tpudet.runtime import mesh as mesh_lib
+from tpudet.runtime import optim
+
+
+def global_l2(params) -> jnp.ndarray:
+    """sum of tf.nn.l2_loss(v) = sum(v^2)/2 over the tree (SSD300.py:150-152)."""
+    leaves = jax.tree.leaves(params)
+    return sum(0.5 * jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+
+
+class DetectorBase:
+    """Subclasses set ``input_size`` and implement ``_build`` (create ``self.net`` and
+    any static tables), ``_loss_from_outputs``, ``_decode_outputs`` and optionally
+    ``_load_pretraining`` / ``_preprocess``."""
+
+    input_size: int = None
+
+    def __init__(self, config: Dict[str, Any], data_provider: Optional[Dict] = None):
+        assert config["mode"] in ("train", "test")
+        assert config["data_format"] in ("channels_first", "channels_last")
+        self.config = config
+        self.data_format = config["data_format"]
+        self.mode = config["mode"]
+        self.num_classes = config["num_classes"] + 1  # + background
+        self.weight_decay = float(config.get("weight_decay", 0.0))
+        self.prob = 1.0 - config.get("keep_prob", 1.0)  # parity: never applied (Q17)
+        self.batch_size = config["batch_size"] if self.mode == "train" else 1
+        self.nms_score_threshold = config.get("nms_score_threshold", 0.5)
+        self.nms_max_boxes = config.get("nms_max_boxes", 20)
+        self.nms_iou_threshold = config.get("nms_iou_threshold", 0.5)
+        self.compute_dtype = (
+            jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
+        )
+        self.data_provider = data_provider or {}
+        if self.mode == "train" and data_provider is not None:
+            self.num_train = data_provider["num_train"]
+            self.num_val = data_provider.get("num_val", 0)
+            gen = data_provider.get("train_generator")
+            if isinstance(gen, tuple):  # reference (init_op, iterator) shape
+                self.train_initializer, self.train_iterator = gen
+            else:
+                self.train_initializer = getattr(gen, "reset", None)
+                self.train_iterator = gen
+        self.global_step = 0
+
+        self._build()
+        self._init_variables()
+        self._setup_mesh()
+        self._compile()
+
+    # ------------------------------------------------------------- hooks
+    def _build(self):
+        raise NotImplementedError
+
+    def _loss_from_outputs(self, outputs, gt):
+        raise NotImplementedError
+
+    def _decode_outputs(self, outputs):
+        """Single-image decode: outputs -> (scores, boxes, class_id, valid)."""
+        raise NotImplementedError
+
+    def _make_optimizer(self):
+        return optim.Momentum(0.9)
+
+    def _load_pretraining(self, params):
+        return params
+
+    def _pixel_mean(self):
+        """Per-channel RGB mean; 103.979 is the reference's value (quirk Q16)."""
+        return jnp.asarray([123.68, 116.779, 103.979], jnp.float32)
+
+    def _preprocess(self, images):
+        return images - self._pixel_mean().reshape(1, 1, 1, 3)
+
+    # --------------------------------------------------------- lifecycle
+    def _data_shape_nhwc(self):
+        return (self.input_size, self.input_size, 3)
+
+    def _init_variables(self):
+        key = jax.random.PRNGKey(int(self.config.get("seed", 0)))
+        dummy = jnp.zeros((1, *self._data_shape_nhwc()), jnp.float32)
+        variables = self.net.init(key, dummy, False)
+        params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.params = self._load_pretraining(params)
+        self._optimizer = self._make_optimizer()
+        self.opt_state = self._optimizer.init(self.params) if self.mode == "train" else None
+
+    def _setup_mesh(self):
+        full = mesh_lib.data_mesh()
+        dp = mesh_lib.usable_data_parallelism(self.batch_size, full)
+        self.mesh = mesh_lib.data_mesh(num_devices=dp)
+        self.params = mesh_lib.replicate_tree(self.mesh, self.params)
+        self.batch_stats = mesh_lib.replicate_tree(self.mesh, self.batch_stats)
+        if self.opt_state is not None:
+            self.opt_state = mesh_lib.replicate_tree(self.mesh, self.opt_state)
+
+    def _compile(self):
+        net, wd, optimizer = self.net, self.weight_decay, self._optimizer
+
+        def forward_loss(params, bstats, images, gt):
+            images = self._preprocess(images)
+            outputs, mut = net.apply(
+                {"params": params, "batch_stats": bstats}, images, True,
+                mutable=["batch_stats"],
+            )
+            loss = self._loss_from_outputs(outputs, gt)
+            loss = loss + wd * global_l2(params)
+            return loss, mut["batch_stats"]
+
+        def train_step(params, bstats, opt_state, images, gt, lr):
+            (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+                params, bstats, images, gt
+            )
+            new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
+            return new_params, new_stats, new_opt, loss
+
+        if self.mode == "train":
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+        def infer(params, bstats, images):
+            images = self._preprocess(images)
+            outputs = net.apply({"params": params, "batch_stats": bstats}, images, False)
+            return self._decode_outputs(outputs)
+
+        self._infer = jax.jit(infer)
+
+    # ------------------------------------------------------------ public API
+    def train_one_epoch(self, lr) -> float:
+        if callable(self.train_initializer):
+            self.train_initializer()
+        num_iters = self.num_train // self.batch_size
+        losses = []
+        for i in range(num_iters):
+            images, gt = next(self.train_iterator)
+            images, gt = self._to_device(images, gt)
+            self.params, self.batch_stats, self.opt_state, loss = self._train_step(
+                self.params, self.batch_stats, self.opt_state, images, gt,
+                jnp.float32(lr),
+            )
+            self.global_step += 1
+            loss = float(loss)
+            sys.stdout.write(f"\r>> iters {i}/{num_iters} loss {loss}")
+            sys.stdout.flush()
+            losses.append(loss)
+        sys.stdout.write("\n")
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def _to_device(self, images, gt):
+        images = np.ascontiguousarray(images, np.float32)
+        if self.data_format == "channels_first":
+            images = images.transpose(0, 2, 3, 1)
+        gt = np.ascontiguousarray(gt, np.float32)
+        return mesh_lib.shard_batch(self.mesh, images, gt)
+
+    def test_one_image(self, images):
+        """images: [1, H, W, 3] (or CHW for channels_first). Returns
+        [scores, bbox(y1x1y2x2 pixels), class_id] with padding stripped
+        (SSD300.py:486-488 contract)."""
+        images = np.ascontiguousarray(images, np.float32)
+        if self.data_format == "channels_first":
+            images = images.transpose(0, 2, 3, 1)
+        scores, bbox, cid, valid = self._infer(self.params, self.batch_stats,
+                                               jnp.asarray(images))
+        valid = np.asarray(valid)
+        return [np.asarray(scores)[valid], np.asarray(bbox)[valid],
+                np.asarray(cid)[valid]]
+
+    def save_weight(self, mode: str, path: str):
+        assert mode in ("latest", "best")
+        state = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": serialization.to_state_dict(self.opt_state)
+            if self.opt_state is not None else {},
+            "global_step": self.global_step,
+        }
+        fname = ckpt.save_state(path, serialization.to_state_dict(state), self.global_step)
+        print("save", mode, "model in", fname, "successfully")
+
+    def load_weight(self, path: str):
+        blob = ckpt.load_state(path)
+        self.params = serialization.from_state_dict(self.params, blob["params"])
+        self.batch_stats = serialization.from_state_dict(self.batch_stats,
+                                                         blob["batch_stats"])
+        if self.opt_state is not None and blob.get("opt_state"):
+            self.opt_state = serialization.from_state_dict(self.opt_state,
+                                                           blob["opt_state"])
+        self.global_step = int(blob.get("global_step", 0))
+        self.params = mesh_lib.replicate_tree(self.mesh, self.params)
+        self.batch_stats = mesh_lib.replicate_tree(self.mesh, self.batch_stats)
+        if self.opt_state is not None:
+            self.opt_state = mesh_lib.replicate_tree(self.mesh, self.opt_state)
+        print("load weight", path, "successfully")
