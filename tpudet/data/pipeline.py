@@ -1,0 +1,131 @@
+"""Host-side input pipeline feeding the device mesh.
+
+Replaces the reference's ``tf.data`` generator (tfrecord_voc_utils.py:115-120:
+map(parse+augment) -> shuffle -> batch(drop_remainder) -> repeat, consumed via a
+reinitializable iterator). Key differences, TPU-first:
+
+  * records are index-shuffled per epoch (O(1) random access into the shard files via
+    a byte-offset index) instead of a streaming shuffle buffer — strictly stronger
+    shuffling with no buffer memory;
+  * an optional background thread decodes/augments ahead so the accelerator step
+    overlaps host preprocessing;
+  * per-host sharding for multi-process SPMD: pass ``shard_index/num_shards`` and each
+    host reads a disjoint slice of the global index (SURVEY.md §2.5 input sharding).
+
+``get_generator`` keeps the reference's return shape ``(initializer, iterator)`` so
+driver scripts port verbatim: ``initializer()`` restarts an epoch, ``next(iterator)``
+yields ``(images [B,H,W,3] f32, gt [B,pad,5] f32)`` host arrays.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpudet.data import tfrecord, voc
+from tpudet.data.augment import image_augmentor
+
+
+class _RecordIndex:
+    def __init__(self, paths: Sequence[str]):
+        self.entries: List[Tuple[str, int, int]] = []
+        for p in paths:
+            for off, ln in tfrecord.index_records(p):
+                self.entries.append((p, off, ln))
+        self._handles: Dict[str, object] = {}
+
+    def read(self, i: int) -> bytes:
+        path, off, ln = self.entries[i]
+        h = self._handles.get(path)
+        if h is None:
+            h = open(path, "rb")
+            self._handles[path] = h
+        h.seek(off)
+        return h.read(ln)
+
+    def __len__(self):
+        return len(self.entries)
+
+
+class VOCLoader:
+    """Iterator of augmented (images, gt) batches; infinite (``repeat()``), with
+    ``reset()`` reshuffling and restarting like the reference's initializer."""
+
+    def __init__(self, tfrecords: Sequence[str], batch_size: int, buffer_size: int,
+                 image_preprocess_config: Dict, seed: int = 0,
+                 shard_index: int = 0, num_shards: int = 1,
+                 prefetch: int = 2):
+        del buffer_size  # full index shuffle supersedes the reference's buffer
+        self.index = _RecordIndex(tfrecords)
+        self.batch_size = batch_size
+        self.aug_config = dict(image_preprocess_config)
+        self.rng = np.random.default_rng(seed)
+        ids = np.arange(len(self.index))
+        self.local_ids = ids[shard_index::num_shards]
+        self.prefetch = prefetch
+        self._thread: Optional[threading.Thread] = None
+        self._queue: Optional[queue.Queue] = None
+        self._stop = threading.Event()
+        self.reset()
+
+    def _epoch_order(self):
+        order = self.local_ids.copy()
+        self.rng.shuffle(order)
+        return order
+
+    def _make_batch(self, ids):
+        images, gts = [], []
+        for i in ids:
+            image, shape, gt = voc.parse_voc_record(self.index.read(int(i)))
+            img, g = image_augmentor(image=image, input_shape=shape,
+                                     ground_truth=gt, rng=self.rng,
+                                     **self.aug_config)
+            images.append(img)
+            gts.append(g)
+        return np.stack(images), np.stack(gts)
+
+    def _producer(self):
+        while not self._stop.is_set():
+            order = self._epoch_order()
+            nb = len(order) // self.batch_size
+            for b in range(nb):
+                if self._stop.is_set():
+                    return
+                batch = self._make_batch(order[b * self.batch_size:(b + 1) * self.batch_size])
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+    def reset(self):
+        """Restart (reference: rerun the iterator initializer per epoch)."""
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=5)
+        self._stop = threading.Event()
+        self._queue = queue.Queue(maxsize=max(1, self.prefetch))
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._queue.get()
+
+    def close(self):
+        self._stop.set()
+
+
+def get_generator(tfrecords, batch_size, buffer_size, image_preprocess_config,
+                  **kwargs):
+    """Reference-compatible factory (tfrecord_voc_utils.py:115-120):
+    returns ``(initializer, iterator)``."""
+    loader = VOCLoader(tfrecords, batch_size, buffer_size, image_preprocess_config,
+                       **kwargs)
+    return loader.reset, loader
