@@ -1,0 +1,148 @@
+"""RetinaNet head: FPN anchor subnets + focal loss (reference: RetinaNet.py).
+
+Assignment mirrors the SSD head's fixed-shape machinery (tpudet/heads/ssd.py) with the
+RetinaNet deltas (RetinaNet.py:357-474):
+  * positives: best-anchor-per-gt rows + other anchors with best IoU > 0.5;
+  * negatives: other anchors with best IoU < 0.4 (the 0.4-0.5 band is ignored);
+  * confidence loss: softmax focal ``-alpha (1-p)^gamma log p`` on positives AND
+    negatives, summed and divided by the positive-row count;
+  * coordinate loss: mean smooth-L1 over positive rows;
+  * no hard-negative mining.
+
+Anchors (RetinaNet.py:328-355): 9 per cell — ratio-major {1, 1/2, 2} x size-multiplier
+{2^0, 2^(1/3), 2^(2/3)} on base areas {32, 64, 128, 256, 512}; the per-cell pixel pitch
+is ``input_h / feat_h`` for BOTH axes (reference uses the height-derived rate for x
+too). Decode + per-class NMS are shared with SSD (identical math, SSD300.py:156-190 ==
+RetinaNet.py:223-256).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpudet.nn.layers import BNActConv
+from tpudet.ops import anchors as anchor_ops
+from tpudet.ops import boxes as box_ops
+from tpudet.ops import losses as loss_ops
+from tpudet.ops import matching
+from tpudet.heads.ssd import AnchorSet
+
+ANCHOR_AREAS = (32.0, 64.0, 128.0, 256.0, 512.0)
+ASPECT_RATIOS = (1.0, 1.0 / 2.0, 2.0)
+SIZE_MULTIPLIERS = (2 ** 0, 2 ** (1 / 3), 2 ** (2 / 3))
+NUM_ANCHORS = len(ASPECT_RATIOS) * len(SIZE_MULTIPLIERS)
+
+
+def build_anchors(input_h: int, feat_shapes: Sequence[Sequence[int]],
+                  areas: Sequence[float] = ANCHOR_AREAS) -> AnchorSet:
+    levels = []
+    for (fh, fw), area in zip(feat_shapes, areas):
+        priors = anchor_ops.retina_priors(area, ASPECT_RATIOS, SIZE_MULTIPLIERS)
+        rate = input_h / fh  # height-derived pitch for both axes (RetinaNet.py:331)
+        levels.append(anchor_ops.grid_anchors(fh, fw, priors, rate, rate))
+    arrs = anchor_ops.concat_levels(levels)
+    return AnchorSet(*(jnp.asarray(a) for a in arrs))
+
+
+class RetinaSubnets(nn.Module):
+    """Per-level class/box towers of 4 pre-act convs + prediction conv; structure
+    shared, weights NOT shared across levels (RetinaNet.py:145-155). Class prediction
+    bias starts at ``-log((1-pi)/pi)``, pi = 0.01 (RetinaNet.py:47-48, 609-618)."""
+
+    num_classes_total: int
+    feature_size: int = 256
+    pi: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, levels, train: bool):
+        preds = []
+        bias0 = -math.log((1.0 - self.pi) / self.pi)
+        for i, f in enumerate(levels):
+            c = f
+            for j in range(4):
+                c = BNActConv(self.feature_size, 3, 1, dtype=self.dtype,
+                              name=f"cls{i}_conv{j}")(c, train)
+            predc = BNActConv(self.num_classes_total * NUM_ANCHORS, 3, 1,
+                              bias_init_const=bias0, dtype=self.dtype,
+                              name=f"cls{i}_pred")(c, train)
+            r = f
+            for j in range(4):
+                r = BNActConv(self.feature_size, 3, 1, dtype=self.dtype,
+                              name=f"box{i}_conv{j}")(r, train)
+            predr = BNActConv(4 * NUM_ANCHORS, 3, 1, dtype=self.dtype,
+                              name=f"box{i}_pred")(r, train)
+            preds.append((predc, predr))
+        return preds
+
+
+def flatten_preds(preds, num_classes_total: int):
+    """[(predc, predr)] per level -> (pconf [B,A,C+1], pyx, phw)."""
+    confs, yxs, hws = [], [], []
+    for predc, predr in preds:
+        b = predc.shape[0]
+        pc = predc.reshape(b, -1, num_classes_total)
+        pr = predr.reshape(b, -1, 4)
+        confs.append(pc)
+        yxs.append(pr[..., :2])
+        hws.append(pr[..., 2:])
+    return (jnp.concatenate(confs, 1).astype(jnp.float32),
+            jnp.concatenate(yxs, 1).astype(jnp.float32),
+            jnp.concatenate(hws, 1).astype(jnp.float32))
+
+
+def _focal_rowwise(pconf, labels, alpha, gamma):
+    p = jax.nn.softmax(pconf, axis=-1)
+    p = jnp.clip(jnp.take_along_axis(p, labels[..., None], axis=-1)[..., 0], 1e-8, 1.0)
+    return -alpha * jnp.power(1.0 - p, gamma) * jnp.log(p)
+
+
+def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
+                alpha: float, gamma: float):
+    g = matching.unpack_gt(gt)
+    a = anc.y1x1.shape[0]
+    iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)
+
+    best_anchor = matching.best_anchor_per_gt(iou)
+    vmask = g.valid.astype(jnp.float32)
+    best_focal = _focal_rowwise(pconf[best_anchor], g.label, alpha, gamma)
+    t_yx, t_hw = box_ops.encode(g.yx, jnp.maximum(g.hw, 1e-8),
+                                anc.yx[best_anchor], anc.hw[best_anchor])
+    best_coord = (jnp.sum(loss_ops.smooth_l1(pyx[best_anchor] - t_yx), -1)
+                  + jnp.sum(loss_ops.smooth_l1(phw[best_anchor] - t_hw), -1))
+
+    best_set = matching.scatter_best_mask(best_anchor, g.valid, a)
+    other = jnp.logical_not(best_set)
+    best_agiou, rg = matching.best_gt_per_anchor(iou, g.valid)
+    pos = jnp.logical_and(other, best_agiou > 0.5)
+    neg = jnp.logical_and(other, best_agiou < 0.4)
+    pos_f = pos.astype(jnp.float32)
+    neg_f = neg.astype(jnp.float32)
+
+    po_focal = _focal_rowwise(pconf, g.label[rg], alpha, gamma)
+    po_t_yx, po_t_hw = box_ops.encode(g.yx[rg], jnp.maximum(g.hw[rg], 1e-8),
+                                      anc.yx, anc.hw)
+    po_coord = (jnp.sum(loss_ops.smooth_l1(pyx - po_t_yx), -1)
+                + jnp.sum(loss_ops.smooth_l1(phw - po_t_hw), -1))
+    bg_focal = _focal_rowwise(
+        pconf, jnp.full((a,), num_classes_total - 1, jnp.int32), alpha, gamma)
+
+    num_pos = g.count.astype(jnp.float32) + jnp.sum(pos_f)
+    denom = jnp.maximum(num_pos, 1e-8)
+    conf_loss = (jnp.sum(best_focal * vmask) + jnp.sum(po_focal * pos_f)
+                 + jnp.sum(bg_focal * neg_f)) / denom
+    coord_loss = (jnp.sum(best_coord * vmask) + jnp.sum(po_coord * pos_f)) / denom
+    return conf_loss + coord_loss
+
+
+def retina_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
+                alpha: float, gamma: float):
+    per_image = jax.vmap(
+        lambda y, h, c, g: _image_loss(y, h, c, anc, g, num_classes_total, alpha, gamma)
+    )(pyx, phw, pconf, gt)
+    return jnp.mean(per_image)

@@ -3,3 +3,4 @@
 ``save_weight(mode, path)``, ``load_weight(path)``)."""
 
 from tpudet.models.ssd import SSD300, SSD512  # noqa: F401
+from tpudet.models.retinanet import RetinaNet  # noqa: F401

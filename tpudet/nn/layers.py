@@ -90,6 +90,65 @@ class Conv(nn.Module):
         return x
 
 
+class BNActConv(nn.Module):
+    """Pre-activation unit: BatchNorm -> activation -> conv (RetinaNet.py:594-619,
+    FCOS uses the GroupNorm variant). ``bias_init_const`` supports RetinaNet's
+    focal-loss prior bias ``-log((1-pi)/pi)`` on the class prediction conv."""
+
+    filters: int
+    kernel: int
+    stride: int = 1
+    activation: Optional[Callable] = nn.relu
+    bias_init_const: Optional[float] = None
+    norm: str = "bn"  # 'bn' | 'gn'
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.norm == "bn":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        else:
+            x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype,
+                             name="gn")(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        bias_init = (nn.initializers.constant(self.bias_init_const)
+                     if self.bias_init_const is not None
+                     else nn.initializers.zeros_init())
+        return nn.Conv(
+            self.filters, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding="SAME",
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_in",
+                                                         "truncated_normal"),
+            bias_init=bias_init, dtype=self.dtype, name="conv",
+        )(x)
+
+
+def resize_bilinear(x, out_h: int, out_w: int):
+    """tf.image.resize_bilinear (align_corners=False) for FPN top-down upsampling
+    (RetinaNet.py:309). Half-pixel-free TF1 default: scale = in/out, src = dst*scale."""
+    import jax
+    import jax.numpy as jnp2
+
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    ys = jnp2.arange(out_h, dtype=jnp2.float32) * (h / out_h)
+    xs = jnp2.arange(out_w, dtype=jnp2.float32) * (w / out_w)
+    y0 = jnp2.clip(jnp2.floor(ys), 0, h - 1).astype(jnp2.int32)
+    x0 = jnp2.clip(jnp2.floor(xs), 0, w - 1).astype(jnp2.int32)
+    y1 = jnp2.minimum(y0 + 1, h - 1)
+    x1 = jnp2.minimum(x0 + 1, w - 1)
+    wy = (ys - y0.astype(jnp2.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp2.float32))[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    del jax
+    return top * (1 - wy) + bot * wy
+
+
 class L2NormScale(nn.Module):
     """Channel-wise L2 normalization with ONE learned scalar scale (broadcast over
     channels), matching SSD300.py:74-83 where ``l2_norm_factor`` has shape [1] and is
