@@ -92,6 +92,7 @@ def topk_then_nms(
 
     Returns ``(sel_boxes [max_out,4], sel_scores [max_out], valid [max_out])``.
     """
+    pre_topk = min(pre_topk, scores.shape[-1])
     masked = jnp.where(active, scores, _NEG).astype(jnp.float32)
     top_scores, top_idx = jax.lax.top_k(masked, pre_topk)
     top_boxes = boxes[top_idx]
