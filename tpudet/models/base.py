@@ -51,6 +51,11 @@ class DetectorBase:
     def __init__(self, config: Dict[str, Any], data_provider: Optional[Dict] = None):
         assert config["mode"] in ("train", "test")
         assert config["data_format"] in ("channels_first", "channels_last")
+        from tpudet.runtime import config as config_lib
+
+        model_name = type(self).__name__
+        config_lib.validate(
+            config, model_name if model_name in config_lib._MODEL_REQUIRED else None)
         self.config = config
         self.data_format = config["data_format"]
         self.mode = config["mode"]
@@ -159,7 +164,9 @@ class DetectorBase:
         self._infer = jax.jit(infer)
 
     # ------------------------------------------------------------ public API
-    def train_one_epoch(self, lr) -> float:
+    def train_one_epoch(self, lr, writer=None) -> float:
+        """One epoch; optional ``writer`` gets per-step loss scalars
+        (YOLOv2.py:305-316 contract, available on every model here)."""
         if callable(self.train_initializer):
             self.train_initializer()
         num_iters = self.num_train // self.batch_size
@@ -176,6 +183,8 @@ class DetectorBase:
             sys.stdout.write(f"\r>> iters {i}/{num_iters} loss {loss}")
             sys.stdout.flush()
             losses.append(loss)
+            if writer is not None:
+                writer.add_summary(loss, global_step=self.global_step)
         sys.stdout.write("\n")
         return float(np.mean(losses)) if losses else float("nan")
 
