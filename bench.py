@@ -19,6 +19,10 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
@@ -27,6 +31,9 @@ CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
 def _build_model(batch, platform=None, compute_dtype="bfloat16"):
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     if platform is not None:
         jax.config.update("jax_platforms", platform)
     from tpudet.models.ssd import SSD300

@@ -1,0 +1,44 @@
+"""Pallas greedy-NMS kernel: interpret-mode parity vs the TF-semantics oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pallas
+import oracles
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kernel_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    b, n = 3, 200
+    yx = rng.uniform(0, 100, (n, 2))
+    hw = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([yx - hw / 2, yx + hw / 2], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (b, n)).astype(np.float32)
+    active = rng.uniform(size=(b, n)) < 0.7
+    scores_m = np.where(active, scores, -1e30).astype(np.float32)
+    num_select = np.asarray([5, 17, 200], np.int32)
+
+    sel, valid = batched_greedy_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores_m), jnp.asarray(num_select),
+        max_out=32, iou_threshold=0.5, interpret=True)
+    sel, valid = np.asarray(sel), np.asarray(valid)
+    for i in range(b):
+        keep = active[i]
+        want = oracles.tf_nms(boxes[keep], scores[i][keep],
+                              min(int(num_select[i]), 32), 0.5)
+        want_global = np.where(keep)[0][want]
+        got = sel[i][valid[i]]
+        np.testing.assert_array_equal(got, want_global)
+
+
+def test_zero_area_boxes_terminate():
+    # degenerate boxes must not be re-selected forever (NaN IoU guard)
+    boxes = np.zeros((4, 4), np.float32)
+    scores = np.asarray([[0.9, 0.8, 0.7, 0.6]], np.float32)
+    sel, valid = batched_greedy_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray([4], np.int32),
+        max_out=4, iou_threshold=0.5, interpret=True)
+    got = np.asarray(sel)[0][np.asarray(valid)[0]]
+    assert len(set(got.tolist())) == len(got)  # no duplicates

@@ -263,6 +263,8 @@ def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
     g = matching.unpack_gt(gt)
     a = anc.y1x1.shape[0]
     iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)
+    arm_lp = loss_ops.log_softmax(arm_conf)
+    odm_lp = loss_ops.log_softmax(odm_conf)
 
     best_anchor = matching.best_anchor_per_gt(iou)
     vmask = g.valid.astype(jnp.float32)
@@ -279,10 +281,8 @@ def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
 
     # ------------------------------------------------------------- ARM stage
     # positive rows: best (per gt) + pos anchors; ARM class target is 0 = object
-    best_arm_ce = loss_ops.softmax_cross_entropy(
-        arm_conf[best_anchor], jnp.zeros_like(g.label))
-    pos_arm_ce = loss_ops.softmax_cross_entropy(
-        arm_conf, jnp.zeros((a,), jnp.int32))
+    best_arm_ce = -arm_lp[best_anchor, 0]
+    pos_arm_ce = -arm_lp[:, 0]
     arm_conf_loss = (jnp.sum(best_arm_ce * vmask) + jnp.sum(pos_arm_ce * pos_f)) / denom
 
     bt_yx, bt_hw = box_ops.encode(g.yx, ghw_safe, anc.yx[best_anchor],
@@ -295,7 +295,7 @@ def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
     arm_coord_loss = (jnp.sum(best_arm_coord * vmask) + jnp.sum(pos_arm_coord * pos_f)) / denom
 
     # hard negatives: NMS-on-loss over anchors, CE to ARM background (class 1)
-    neg_arm_ce = loss_ops.softmax_cross_entropy(arm_conf, jnp.ones((a,), jnp.int32))
+    neg_arm_ce = -arm_lp[:, 1]
     num_neg = jnp.sum(neg.astype(jnp.int32))
     chosen = jnp.minimum(num_neg, 3 * num_pos_int)
     anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
@@ -308,12 +308,11 @@ def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
     # ODM negatives: ARM-selected negatives whose ARM background LOGIT < 0.99
     odm_neg_keep = jnp.logical_and(sel_valid, arm_conf[sel][:, 1] < 0.99)
     odm_neg_f = odm_neg_keep.astype(jnp.float32)
-    neg_odm_ce = loss_ops.softmax_cross_entropy(
-        odm_conf[sel], jnp.full((neg_sel_cap,), num_classes_total - 1, jnp.int32))
+    neg_odm_ce = -odm_lp[sel, num_classes_total - 1]
     neg_odm_loss = jnp.sum(neg_odm_ce * odm_neg_f) / jnp.maximum(jnp.sum(odm_neg_f), 1.0)
 
-    best_odm_ce = loss_ops.softmax_cross_entropy(odm_conf[best_anchor], g.label)
-    pos_odm_ce = loss_ops.softmax_cross_entropy(odm_conf, g.label[rg])
+    best_odm_ce = loss_ops.ce_from_log_probs(odm_lp[best_anchor], g.label)
+    pos_odm_ce = loss_ops.ce_from_log_probs(odm_lp, g.label[rg])
     odm_conf_loss = (jnp.sum(best_odm_ce * vmask) + jnp.sum(pos_odm_ce * pos_f)) / denom
 
     # ODM box targets vs ARM-refined boxes

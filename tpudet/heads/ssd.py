@@ -108,17 +108,18 @@ def flatten_preds(preds, num_classes_total: int):
             jnp.concatenate(hws, 1).astype(jnp.float32))
 
 
-def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
-                neg_sel_cap: int):
-    """Per-image SSD loss (SSD300.py:345-453). All shapes static; gt is [G, 5]."""
+def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int):
+    """Per-image SSD matching terms (SSD300.py:345-453) minus the hard-negative NMS,
+    which runs batched (Pallas on TPU) outside the vmap. Returns
+    (pos_loss, neg_ce [A], neg_mask [A], chosen_num_neg)."""
     g = matching.unpack_gt(gt)
     a = anc.y1x1.shape[0]
     iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)  # [G, A]
+    log_probs = loss_ops.log_softmax(pconf)  # one softmax serves all three CE terms
 
     # --- best-anchor-per-gt rows (forced positives, duplicates kept) ---
     best_anchor = matching.best_anchor_per_gt(iou)  # [G]
-    b_conf = pconf[best_anchor]
-    best_ce = loss_ops.softmax_cross_entropy(b_conf, g.label)
+    best_ce = loss_ops.ce_from_log_probs(log_probs[best_anchor], g.label)
     t_yx, t_hw = box_ops.encode(g.yx, jnp.maximum(g.hw, 1e-8),
                                 anc.yx[best_anchor], anc.hw[best_anchor])
     best_coord = (
@@ -137,7 +138,7 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
     po_label = g.label[rg]
     po_t_yx, po_t_hw = box_ops.encode(g.yx[rg], jnp.maximum(g.hw[rg], 1e-8),
                                       anc.yx, anc.hw)
-    po_ce = loss_ops.softmax_cross_entropy(pconf, po_label)
+    po_ce = loss_ops.ce_from_log_probs(log_probs, po_label)
     po_coord = (
         jnp.sum(loss_ops.smooth_l1(pyx - po_t_yx), -1)
         + jnp.sum(loss_ops.smooth_l1(phw - po_t_hw), -1)
@@ -149,28 +150,29 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
     pos_conf_loss = (jnp.sum(best_ce * vmask) + jnp.sum(po_ce * pos_f)) / denom
     pos_coord_loss = (jnp.sum(best_coord * vmask) + jnp.sum(po_coord * pos_f)) / denom
 
-    # --- hard-negative mining: NMS on background-CE over anchor boxes (Q15) ---
-    bg = num_classes_total - 1
-    neg_ce = loss_ops.softmax_cross_entropy(pconf, jnp.full((a,), bg, jnp.int32))
+    # --- hard-negative candidates: NMS-on-loss runs batched outside the vmap (Q15) ---
+    neg_ce = -log_probs[:, num_classes_total - 1]
     num_neg = jnp.sum(neg.astype(jnp.int32))
     chosen = jnp.minimum(num_neg, 3 * num_pos_int)
-    anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
-    sel, sel_valid = nms.greedy_nms(
-        anc_corners, neg_ce, neg_sel_cap, 0.7, active=neg, num_select=chosen
-    )
-    sel_f = sel_valid.astype(jnp.float32)
-    neg_loss = jnp.sum(neg_ce[sel] * sel_f) / jnp.maximum(jnp.sum(sel_f), 1.0)
 
-    return neg_loss + pos_conf_loss + pos_coord_loss
+    return pos_conf_loss + pos_coord_loss, neg_ce, neg, chosen
 
 
 def ssd_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
              neg_sel_cap: int = 384):
-    """Batched SSD loss: mean of per-image losses (SSD300.py:128-148)."""
-    per_image = jax.vmap(
-        lambda y, h, c, g: _image_loss(y, h, c, anc, g, num_classes_total, neg_sel_cap)
+    """Batched SSD loss: mean of per-image losses (SSD300.py:128-148). The
+    hard-negative mining NMS is one batched device program over the shared anchor
+    boxes (a Pallas kernel on TPU)."""
+    pos_loss, neg_ce, neg, chosen = jax.vmap(
+        lambda y, h, c, g: _image_terms(y, h, c, anc, g, num_classes_total)
     )(pyx, phw, pconf, gt)
-    return jnp.mean(per_image)
+    anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
+    sel, sel_valid = nms.batched_greedy_nms(
+        anc_corners, neg_ce, chosen, neg_sel_cap, 0.7, active=neg)
+    sel_f = sel_valid.astype(jnp.float32)
+    sel_ce = jnp.take_along_axis(neg_ce, sel, axis=1)
+    neg_loss = jnp.sum(sel_ce * sel_f, -1) / jnp.maximum(jnp.sum(sel_f, -1), 1.0)
+    return jnp.mean(pos_loss + neg_loss)
 
 
 def ssd_decode(pconf, pyx, phw, anc: AnchorSet, score_threshold: float,

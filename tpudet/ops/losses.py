@@ -35,6 +35,17 @@ def _logsumexp(logits: jnp.ndarray) -> jnp.ndarray:
     return m + jnp.log(jnp.sum(jnp.exp(logits - m[..., None]), axis=-1))
 
 
+def log_softmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """Stable log-softmax; compute once and gather when several CE targets share the
+    same logits (the anchor losses query background + assigned labels per anchor)."""
+    return logits - _logsumexp(logits)[..., None]
+
+
+def ce_from_log_probs(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.take_along_axis(
+        log_probs, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+
 def sigmoid_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable sigmoid CE (tf.nn.sigmoid_cross_entropy_with_logits)."""
     return (

@@ -75,6 +75,45 @@ def greedy_nms(
     return sel_idx, sel_valid
 
 
+def batched_greedy_nms(boxes, scores, num_select, max_out: int,
+                       iou_threshold: float, active=None):
+    """Batch-of-images greedy NMS with a shared or per-image box set.
+
+    On TPU this runs as ONE Pallas kernel (grid over batch, scores resident in VMEM
+    for the whole select/suppress loop — tpudet.ops.pallas.nms_kernel); elsewhere it
+    falls back to the vmapped XLA loop. Semantics identical to :func:`greedy_nms`.
+
+    Args:
+      boxes: ``[N, 4]`` (shared) or ``[B, N, 4]`` corner boxes.
+      scores: ``[B, N]``.
+      num_select: ``[B]`` dynamic per-image selection budgets.
+      active: optional ``[B, N]`` bool candidate mask.
+
+    Returns ``(sel_idx [B, max_out] int32, valid [B, max_out] bool)``.
+    """
+    if active is not None:
+        scores = jnp.where(active, scores, _NEG)
+    # selection is index-only: no gradient flows through NMS (the caller gathers
+    # differentiable values with the returned indices)
+    boxes = jax.lax.stop_gradient(boxes)
+    scores = jax.lax.stop_gradient(scores)
+    num_select = jax.lax.stop_gradient(num_select)
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pallas
+
+        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
+                                         iou_threshold)
+    if boxes.ndim == 2:
+        return jax.vmap(
+            lambda s, ns: greedy_nms(boxes, s, max_out, iou_threshold,
+                                     num_select=ns)
+        )(scores, num_select)
+    return jax.vmap(
+        lambda bx, s, ns: greedy_nms(bx, s, max_out, iou_threshold, num_select=ns)
+    )(boxes, scores, num_select)
+
+
 def topk_then_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

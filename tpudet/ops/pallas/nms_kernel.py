@@ -1,0 +1,105 @@
+"""Batched greedy NMS as a single Pallas TPU kernel.
+
+The XLA formulation (tpudet.ops.nms.greedy_nms) runs the argmax-select/suppress loop
+as a `lax.while` with per-iteration op overhead; this kernel keeps the scores and box
+coordinates resident in VMEM for the whole loop, one grid program per batch element,
+so the K sequential iterations are pure VPU work with no intermediate HBM traffic.
+
+Semantics are identical to greedy_nms / tf.image.non_max_suppression: descending
+score order (ties -> lowest flat index via the iota-min trick), suppress IoU strictly
+greater than the threshold, stop after ``num_select`` picks. Boxes are laid out as
+four [R, 128] coordinate planes (lane-aligned for the VPU) with scores padded to
+-1e30; scalar extraction uses one-hot reductions (Mosaic has no dynamic_slice), and
+the integer outputs live in SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+_BIG_IDX = 2 ** 30  # plain int: jnp constants would be captured tracers in the kernel
+
+
+def _kernel(ns_ref, sc_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
+            s, *, max_out: int, iou_threshold: float):
+    i = pl.program_id(0)
+    s[:] = sc_ref[0]
+    y1 = y1_ref[0]
+    x1 = x1_ref[0]
+    y2 = y2_ref[0]
+    x2 = x2_ref[0]
+    area = (y2 - y1) * (x2 - x1)
+    n_sel = ns_ref[i]
+    r, lanes = s.shape
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0) * lanes
+           + jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1))
+
+    def body(k, _):
+        vals = s[:]
+        best = jnp.max(vals)
+        j = jnp.min(jnp.where(vals == best, lin, _BIG_IDX))
+        ok = jnp.logical_and(best > _NEG / 2, k < n_sel)
+        onehot = (lin == j).astype(jnp.float32)
+        by1 = jnp.sum(y1 * onehot)
+        bx1 = jnp.sum(x1 * onehot)
+        by2 = jnp.sum(y2 * onehot)
+        bx2 = jnp.sum(x2 * onehot)
+        inter = (jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+                 * jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0))
+        barea = (by2 - by1) * (bx2 - bx1)
+        iou = inter / (area + barea - inter)
+        # suppress overlaps AND always retire the pick itself (guards NaN IoU of
+        # degenerate zero-area boxes)
+        kill = jnp.logical_and(ok, jnp.logical_or(iou > iou_threshold, lin == j))
+        s[:] = jnp.where(kill, _NEG, vals)
+        sel_ref[i, k] = j
+        val_ref[i, k] = ok.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, max_out, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "iou_threshold", "interpret"))
+def batched_greedy_nms_pallas(boxes, scores, num_select, max_out: int,
+                              iou_threshold: float, interpret: bool = False):
+    """boxes [N, 4] (shared across batch) or [B, N, 4]; scores [B, N] with inactive
+    entries pre-masked to <= -1e30; num_select [B] int32.
+
+    Returns (sel_idx [B, max_out] int32, valid [B, max_out] bool).
+    """
+    b, n = scores.shape
+    r = -(-n // 128)
+    n_pad = r * 128
+    pad = n_pad - n
+    scores = jnp.pad(scores.astype(jnp.float32), ((0, 0), (0, pad)),
+                     constant_values=_NEG).reshape(b, r, 128)
+    if boxes.ndim == 2:
+        boxes = jnp.broadcast_to(boxes[None], (b, n, 4))
+    boxes = jnp.pad(boxes.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    planes = [boxes[:, :, i].reshape(b, r, 128) for i in range(4)]
+
+    kernel = functools.partial(_kernel, max_out=max_out,
+                               iou_threshold=iou_threshold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, r, 128), lambda i, ns: (i, 0, 0))] * 5,
+        # full-array SMEM outputs: each program writes its own row with scalar stores
+        out_specs=[pl.BlockSpec((b, max_out), lambda i, ns: (0, 0),
+                                memory_space=pltpu.SMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((r, 128), jnp.float32)],
+    )
+    sel, val = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, max_out), jnp.int32),
+                   jax.ShapeDtypeStruct((b, max_out), jnp.int32)],
+        interpret=interpret,
+    )(num_select.astype(jnp.int32), scores, *planes)
+    return sel, val > 0
