@@ -1,0 +1,84 @@
+"""Box-for-box parity against the RUNNING TF1 reference SSD300.
+
+The reference graphs execute here under tf.compat.v1 (scripts/measure_reference_
+baseline.py shims). This test feeds the reference's own head logits through tpudet's
+full decode pipeline (anchors -> softmax -> background filter -> per-class NMS) and
+requires EXACT detection parity: same count, same classes, scores/boxes within fp
+tolerance (BASELINE.md "detections box-for-box within fp tolerance").
+
+End-to-end (weights copied, image through both conv stacks) agreement is limited only
+by conv accumulation-order numerics (oneDNN vs XLA), checked more loosely.
+"""
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def reference_run():
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    import parity_ssd300 as P
+
+    rng = np.random.default_rng(42)
+    image = rng.uniform(0, 255, (1, 300, 300, 3)).astype(np.float32)
+    ref, tf1 = P.build_reference_test_model(score_threshold=0.15)
+    g = tf1.get_default_graph()
+    ryx, rhw, rconf = ref.sess.run(
+        [g.get_tensor_by_name("inference/concat_6:0"),
+         g.get_tensor_by_name("inference/concat_7:0"),
+         g.get_tensor_by_name("inference/concat_8:0")],
+        feed_dict={ref.images: image, ref.is_training: False})
+    rs, rb, rc = ref.test_one_image(image)
+    values = P.reference_variables(ref, tf1)
+    ref.sess.close()
+    return image, (ryx, rhw, rconf), (np.asarray(rs), np.asarray(rb),
+                                      np.asarray(rc)), values
+
+
+def _canon(s, b, c):
+    o = np.lexsort((s, c))
+    return np.asarray(s)[o], np.asarray(b)[o], np.asarray(c)[o]
+
+
+def test_decode_box_for_box(reference_run):
+    """Identical logits -> identical detections."""
+    _, (ryx, rhw, rconf), (rs, rb, rc), _ = reference_run
+    from tpudet.heads import ssd as ssd_head
+    from tpudet.models.ssd import _ssd_feat_shapes
+
+    anc = ssd_head.build_anchors(300, _ssd_feat_shapes(300, (2, 2, 1, 2)))
+    scores, boxes, cids, valid = ssd_head.ssd_decode(
+        jnp.asarray(rconf[0]), jnp.asarray(ryx[0]), jnp.asarray(rhw[0]), anc,
+        0.15, 0.5, 20, pre_topk=400)
+    v = np.asarray(valid)
+    gs, gb, gc = _canon(np.asarray(scores)[v], np.asarray(boxes)[v],
+                        np.asarray(cids)[v])
+    rs, rb, rc = _canon(rs, rb, rc)
+    assert len(gs) == len(rs) and len(rs) > 50
+    np.testing.assert_array_equal(gc, rc)
+    np.testing.assert_allclose(gs, rs, atol=1e-5)
+    np.testing.assert_allclose(gb, rb, atol=1e-3)
+
+
+def test_end_to_end_weight_copy(reference_run):
+    """Weights copied into tpudet: logits agree to conv-numerics tolerance and the
+    overwhelming majority of detections coincide."""
+    image, (ryx, rhw, rconf), (rs, rb, rc), values = reference_run
+    sys.path.insert(0, "scripts")
+    import parity_ssd300 as P
+    from tpudet.heads import ssd as ssd_head
+
+    ours = P.inject_into_tpudet(values, score_threshold=0.15)
+    pre = ours._preprocess(jnp.asarray(image))
+    outs = ours.net.apply({"params": ours.params, "batch_stats": ours.batch_stats},
+                          pre, False)
+    oconf, oyx, ohw = ssd_head.flatten_preds(outs, ours.num_classes)
+    scale = float(np.abs(rconf).max())
+    assert float(np.abs(np.asarray(oconf[0]) - rconf[0]).max()) < 0.02 * scale
+    gs, gb, gc = ours.test_one_image(image)
+    # counts agree within the threshold-crossing noise band
+    assert abs(len(gs) - len(rs)) <= max(5, 0.05 * len(rs))
