@@ -35,14 +35,18 @@ class TestConfig:
 class TestSummaryWriter:
     def test_tf_reads_our_events(self, tmp_path):
         tf = pytest.importorskip("tensorflow")
+        from tpudet.data import tfrecord as tfr
+
         logdir = str(tmp_path / "logs")
         w = summary.SummaryWriter(logdir)
         w.add_scalar("loss", 1.5, 1)
         w.add_scalar("loss", 0.75, 2)
         w.close()
         fname = [f for f in os.listdir(logdir) if f.startswith("events")][0]
-        records = list(tf.data.TFRecordDataset([os.path.join(logdir, fname)]))
-        events = [tf.compat.v1.Event.FromString(bytes(r.numpy())) for r in records]
+        # read framing with our own reader (graph-mode-safe if another test has
+        # called tf.compat.v1.disable_v2_behavior), parse with TF's Event proto
+        records = tfr.read_records(os.path.join(logdir, fname), verify=True)
+        events = [tf.compat.v1.Event.FromString(r) for r in records]
         assert events[0].file_version == "brain.Event:2"
         assert events[1].summary.value[0].tag == "loss"
         assert abs(events[1].summary.value[0].simple_value - 1.5) < 1e-6
