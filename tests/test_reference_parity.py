@@ -64,6 +64,17 @@ def test_decode_box_for_box(reference_run):
     np.testing.assert_allclose(gb, rb, atol=1e-3)
 
 
+def test_yolov3_decode_box_for_box():
+    """YOLOv3 decode (quirks Q3/Q4/Q5) vs the running reference: identical head
+    tensors -> identical detections."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    from parity_yolov3 import compare
+
+    report = compare()
+    assert report["ok"], report
+
+
 def test_end_to_end_weight_copy(reference_run):
     """Weights copied into tpudet: logits agree to conv-numerics tolerance and the
     overwhelming majority of detections coincide."""
