@@ -36,8 +36,7 @@ def build_reference_test_model(batch=1, score_threshold=0.5):
     sys.modules["tensorflow"] = tf1
 
     SSD300 = load_reference_ssd300(tf1)
-    graph = tf1.Graph()
-    graph.as_default().__enter__()  # fresh graph per build (parity tests build several)
+    tf1.reset_default_graph()  # fresh graph per build (parity tests build several)
     config = {
         "mode": "test", "data_format": "channels_last", "num_classes": 20,
         "weight_decay": 1e-4, "keep_prob": 0.5, "batch_size": batch,

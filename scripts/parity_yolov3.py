@@ -38,8 +38,7 @@ def build_reference(data_shape=(128, 128, 3), score_threshold=0.3):
     module = types.ModuleType("reference_yolov3")
     exec(compile(src, REF, "exec"), module.__dict__)
 
-    graph = tf1.Graph()
-    graph.as_default().__enter__()  # fresh graph per build
+    tf1.reset_default_graph()  # fresh graph per build
     config = {
         "mode": "test", "data_shape": list(data_shape), "num_classes": 20,
         "weight_decay": 5e-4, "keep_prob": 0.5, "data_format": "channels_last",
