@@ -202,11 +202,11 @@ class DetectorBase:
         images = np.ascontiguousarray(images, np.float32)
         if self.data_format == "channels_first":
             images = images.transpose(0, 2, 3, 1)
-        scores, bbox, cid, valid = self._infer(self.params, self.batch_stats,
-                                               jnp.asarray(images))
-        valid = np.asarray(valid)
-        return [np.asarray(scores)[valid], np.asarray(bbox)[valid],
-                np.asarray(cid)[valid]]
+        # one device_get for all outputs: separate np.asarray calls would pay a
+        # device round-trip each
+        scores, bbox, cid, valid = jax.device_get(
+            self._infer(self.params, self.batch_stats, jnp.asarray(images)))
+        return [scores[valid], bbox[valid], cid[valid]]
 
     def save_weight(self, mode: str, path: str):
         assert mode in ("latest", "best")
