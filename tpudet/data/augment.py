@@ -22,7 +22,7 @@ Returns ``(image [out_h, out_w, 3] f32, gt [pad_truth_to, 5])`` with gt rows
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

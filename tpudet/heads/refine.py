@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tpudet.nn.backbones.vgg import VGG16Trunk
-from tpudet.nn.layers import Conv, ConvBN, L2NormScale, max_pool_same
+from tpudet.nn.layers import ConvBN, L2NormScale, max_pool_same
 from tpudet.ops import anchors as anchor_ops
 from tpudet.ops import boxes as box_ops
 from tpudet.ops import losses as loss_ops

@@ -20,11 +20,10 @@ Per-image assignment is masked dense over the padded gt and ``vmap``ped over bat
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from tpudet.nn.backbones.darknet import DarkNet19, DarkNet53, _DarkConv, _leaky

@@ -13,7 +13,6 @@ both phases (the reference groups update_ops unconditionally).
 from __future__ import annotations
 
 import math
-import sys
 
 import jax
 import jax.numpy as jnp

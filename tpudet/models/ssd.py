@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
-
 from tpudet.heads import ssd as ssd_head
 from tpudet.models.base import DetectorBase
 from tpudet.runtime import pretrain

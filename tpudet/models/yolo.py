@@ -8,11 +8,8 @@ YOLOv3: 3 lists in pixels, divided by stride [8,16,32] — quirk Q4), ``num_prio
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpudet.heads import yolo as yolo_head
 from tpudet.models.base import DetectorBase

@@ -8,8 +8,6 @@ live in the FCOS head). All convs are pre-activation BN(or GN)-ReLU-conv.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

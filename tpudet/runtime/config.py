@@ -7,8 +7,8 @@ readable errors instead of failing deep inside a jitted trace.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 _COMMON_REQUIRED = ("mode", "data_format", "num_classes", "batch_size")
 

@@ -7,8 +7,7 @@ protocol named as the primary metric in BASELINE.md, operating on the
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
