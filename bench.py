@@ -73,7 +73,6 @@ def _build_model(batch, platform=None, compute_dtype="bfloat16"):
 
 
 def _time_steps(model, images, gt, steps, warmup=2):
-    import jax
     import jax.numpy as jnp
 
     dimages, dgt = model._to_device(images, gt)
@@ -82,13 +81,14 @@ def _time_steps(model, images, gt, steps, warmup=2):
         model.params, model.batch_stats, model.opt_state, loss = model._train_step(
             model.params, model.batch_stats, model.opt_state, dimages, dgt, lr
         )
-    jax.block_until_ready(loss)
+    float(loss)  # scalar fetch: jax.block_until_ready does not truly block through
+    # the axon tunnel, so sync on a device->host value instead
     t0 = time.perf_counter()
     for _ in range(steps):
         model.params, model.batch_stats, model.opt_state, loss = model._train_step(
             model.params, model.batch_stats, model.opt_state, dimages, dgt, lr
         )
-    jax.block_until_ready(loss)
+    float(loss)  # donation serializes the chain; fetching the last loss syncs all
     dt = time.perf_counter() - t0
     return images.shape[0] * steps / dt
 

@@ -125,14 +125,15 @@ def bench_model(name, spec, train_steps=6, latency_runs=15):
         out = model._train_step(model.params, model.batch_stats, model.opt_state,
                                 dimages, dgt, lr, *extra)
         model.params, model.batch_stats, model.opt_state, loss = out
-    jax.block_until_ready(loss)
+    float(loss)  # block_until_ready does not truly block through the axon tunnel;
+    # a scalar fetch is the reliable sync
     result["compile_plus_warmup_s"] = round(time.time() - t0, 1)
     t0 = time.perf_counter()
     for _ in range(train_steps):
         out = model._train_step(model.params, model.batch_stats, model.opt_state,
                                 dimages, dgt, lr, *extra)
         model.params, model.batch_stats, model.opt_state, loss = out
-    jax.block_until_ready(loss)
+    float(loss)  # donation serializes steps; the last loss syncs the whole chain
     dt = (time.perf_counter() - t0) / train_steps
     result["train_step_ms"] = round(dt * 1000, 1)
     result["train_imgs_per_sec"] = round(batch / dt, 1)
