@@ -75,6 +75,27 @@ def test_yolov3_decode_box_for_box():
     assert report["ok"], report
 
 
+def test_centernet_decode_box_for_box():
+    """CenterNet peak-NMS top-k decode vs the running reference: exact."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    from parity_centernet import compare
+
+    report = compare()
+    assert report["ok"], report
+
+
+def test_refinedet_decode_box_for_box():
+    """RefineDet ARM->ODM cascade decode vs the running reference: exact."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    from parity_refinedet import compare
+
+    # random-weight logits are near-uniform; threshold below 1/21 yields detections
+    report = compare(score_threshold=0.048)
+    assert report["ok"], report
+
+
 def test_end_to_end_weight_copy(reference_run):
     """Weights copied into tpudet: logits agree to conv-numerics tolerance and the
     overwhelming majority of detections coincide."""
