@@ -96,6 +96,17 @@ def test_refinedet_decode_box_for_box():
     assert report["ok"], report
 
 
+def test_fcos_decode_box_for_box():
+    """FCOS distance-decode + centerness + Q9 class drop vs the running reference."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    from parity_fcos import compare
+
+    # pi-bias init keeps scores near 0.002; use a threshold that yields detections
+    report = compare(score_threshold=0.001)
+    assert report["ok"], report
+
+
 def test_end_to_end_weight_copy(reference_run):
     """Weights copied into tpudet: logits agree to conv-numerics tolerance and the
     overwhelming majority of detections coincide."""
