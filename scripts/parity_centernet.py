@@ -22,12 +22,14 @@ def build_reference(input_size=128, score_threshold=0.3, top_k=20):
     import tensorflow.compat.v1 as tf1
 
     tf1.disable_v2_behavior()
+    tf1.set_random_seed(1234)
     sys.modules["tensorflow"] = tf1
     with open(REF) as f:
         src = f.read()
     module = types.ModuleType("reference_centernet")
     exec(compile(src, REF, "exec"), module.__dict__)
     tf1.reset_default_graph()
+    tf1.set_random_seed(1234)
     config = {
         "mode": "test", "input_size": input_size, "data_format": "channels_last",
         "num_classes": 20, "weight_decay": 1e-4, "keep_prob": 0.5, "batch_size": 1,

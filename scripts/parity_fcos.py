@@ -41,6 +41,7 @@ def build_reference(data_shape=(128, 128, 3), score_threshold=0.3):
     import tensorflow.compat.v1 as tf1
 
     tf1.disable_v2_behavior()
+    tf1.set_random_seed(1234)
     contrib = types.ModuleType("contrib")
     contrib.layers = types.ModuleType("layers")
     contrib.layers.group_norm = _group_norm_shim(tf1)
@@ -53,6 +54,7 @@ def build_reference(data_shape=(128, 128, 3), score_threshold=0.3):
     module = types.ModuleType("reference_fcos")
     exec(compile(src, REF, "exec"), module.__dict__)
     tf1.reset_default_graph()
+    tf1.set_random_seed(1234)
     config = {
         "mode": "test", "data_shape": list(data_shape),
         "data_format": "channels_last", "num_classes": 20, "weight_decay": 1e-4,

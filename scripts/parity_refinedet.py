@@ -23,6 +23,7 @@ def build_reference(input_size=128, score_threshold=0.1):
     import tensorflow.compat.v1 as tf1
 
     tf1.disable_v2_behavior()
+    tf1.set_random_seed(1234)
     contrib = types.ModuleType("contrib")
     contrib.framework = types.ModuleType("framework")
     contrib.framework.sort = tf1.sort
@@ -41,6 +42,7 @@ def build_reference(input_size=128, score_threshold=0.1):
     module = types.ModuleType("reference_refinedet")
     exec(compile(src, REF, "exec"), module.__dict__)
     tf1.reset_default_graph()
+    tf1.set_random_seed(1234)
     config = {
         "mode": "test", "input_size": input_size, "data_format": "channels_last",
         "num_classes": 20, "weight_decay": 1e-4, "keep_prob": 0.5, "batch_size": 1,

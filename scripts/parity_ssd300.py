@@ -24,6 +24,7 @@ def build_reference_test_model(batch=1, score_threshold=0.5):
     import tensorflow.compat.v1 as tf1
 
     tf1.disable_v2_behavior()
+    tf1.set_random_seed(1234)
     contrib = types.ModuleType("contrib")
     contrib.framework = types.ModuleType("framework")
     contrib.framework.sort = tf1.sort
@@ -37,6 +38,7 @@ def build_reference_test_model(batch=1, score_threshold=0.5):
 
     SSD300 = load_reference_ssd300(tf1)
     tf1.reset_default_graph()  # fresh graph per build (parity tests build several)
+    tf1.set_random_seed(1234)
     config = {
         "mode": "test", "data_format": "channels_last", "num_classes": 20,
         "weight_decay": 1e-4, "keep_prob": 0.5, "batch_size": batch,

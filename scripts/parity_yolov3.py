@@ -27,6 +27,7 @@ def build_reference(data_shape=(128, 128, 3), score_threshold=0.3):
     import tensorflow.compat.v1 as tf1
 
     tf1.disable_v2_behavior()
+    tf1.set_random_seed(1234)
     contrib = types.ModuleType("contrib")
     contrib.layers = types.ModuleType("layers")
     contrib.layers.variance_scaling_initializer = tf1.variance_scaling_initializer
@@ -39,6 +40,7 @@ def build_reference(data_shape=(128, 128, 3), score_threshold=0.3):
     exec(compile(src, REF, "exec"), module.__dict__)
 
     tf1.reset_default_graph()  # fresh graph per build
+    tf1.set_random_seed(1234)
     config = {
         "mode": "test", "data_shape": list(data_shape), "num_classes": 20,
         "weight_decay": 5e-4, "keep_prob": 0.5, "data_format": "channels_last",

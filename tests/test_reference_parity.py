@@ -53,7 +53,7 @@ def test_decode_box_for_box(reference_run):
     anc = ssd_head.build_anchors(300, _ssd_feat_shapes(300, (2, 2, 1, 2)))
     scores, boxes, cids, valid = ssd_head.ssd_decode(
         jnp.asarray(rconf[0]), jnp.asarray(ryx[0]), jnp.asarray(rhw[0]), anc,
-        0.15, 0.5, 20, pre_topk=400)
+        0.15, 0.5, 20, pre_topk=2000)
     v = np.asarray(valid)
     gs, gb, gc = _canon(np.asarray(scores)[v], np.asarray(boxes)[v],
                         np.asarray(cids)[v])
