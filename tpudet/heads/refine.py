@@ -258,8 +258,11 @@ def flatten_preds(arms, odms, num_classes_total: int):
             odm_loc[..., :2], odm_loc[..., 2:], odm_conf)
 
 
-def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,
-                gt, num_classes_total: int, neg_sel_cap: int):
+def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
+                 anc: AnchorSet, gt, num_classes_total: int):
+    """Per-image matching terms minus the hard-negative NMS (which runs batched —
+    Pallas on TPU — outside the vmap). Returns (pos_loss, neg_arm_ce [A], neg [A],
+    chosen, arm_bg_logit [A], odm_bg_ce [A])."""
     g = matching.unpack_gt(gt)
     a = anc.y1x1.shape[0]
     iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)
@@ -294,23 +297,12 @@ def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
                      + jnp.sum(loss_ops.smooth_l1(arm_hw - pt_hw), -1))
     arm_coord_loss = (jnp.sum(best_arm_coord * vmask) + jnp.sum(pos_arm_coord * pos_f)) / denom
 
-    # hard negatives: NMS-on-loss over anchors, CE to ARM background (class 1)
+    # hard-negative candidates: the NMS itself runs batched outside the vmap
     neg_arm_ce = -arm_lp[:, 1]
     num_neg = jnp.sum(neg.astype(jnp.int32))
     chosen = jnp.minimum(num_neg, 3 * num_pos_int)
-    anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
-    sel, sel_valid = nms.greedy_nms(anc_corners, neg_arm_ce, neg_sel_cap, 0.7,
-                                    active=neg, num_select=chosen)
-    sel_f = sel_valid.astype(jnp.float32)
-    neg_arm_loss = jnp.sum(neg_arm_ce[sel] * sel_f) / jnp.maximum(jnp.sum(sel_f), 1.0)
 
     # ------------------------------------------------------------- ODM stage
-    # ODM negatives: ARM-selected negatives whose ARM background LOGIT < 0.99
-    odm_neg_keep = jnp.logical_and(sel_valid, arm_conf[sel][:, 1] < 0.99)
-    odm_neg_f = odm_neg_keep.astype(jnp.float32)
-    neg_odm_ce = -odm_lp[sel, num_classes_total - 1]
-    neg_odm_loss = jnp.sum(neg_odm_ce * odm_neg_f) / jnp.maximum(jnp.sum(odm_neg_f), 1.0)
-
     best_odm_ce = loss_ops.ce_from_log_probs(odm_lp[best_anchor], g.label)
     pos_odm_ce = loss_ops.ce_from_log_probs(odm_lp, g.label[rg])
     odm_conf_loss = (jnp.sum(best_odm_ce * vmask) + jnp.sum(pos_odm_ce * pos_f)) / denom
@@ -329,18 +321,32 @@ def _image_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
                      + jnp.sum(loss_ops.smooth_l1(odm_hw - po_hw), -1))
     odm_coord_loss = (jnp.sum(best_odm_coord * vmask) + jnp.sum(pos_odm_coord * pos_f)) / denom
 
-    arm_loss = neg_arm_loss + arm_conf_loss + arm_coord_loss
-    odm_loss = neg_odm_loss + odm_conf_loss + odm_coord_loss
-    return arm_loss + odm_loss
+    pos_loss = arm_conf_loss + arm_coord_loss + odm_conf_loss + odm_coord_loss
+    return (pos_loss, neg_arm_ce, neg, chosen, arm_conf[:, 1],
+            -odm_lp[:, num_classes_total - 1])
 
 
 def refine_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,
                 gt, num_classes_total: int, neg_sel_cap: int = 384):
-    per_image = jax.vmap(
-        lambda ay, ah, ac, oy, oh, oc, g: _image_loss(
-            ay, ah, ac, oy, oh, oc, anc, g, num_classes_total, neg_sel_cap)
+    (pos_loss, neg_arm_ce, neg, chosen, arm_bg_logit, odm_bg_ce) = jax.vmap(
+        lambda ay, ah, ac, oy, oh, oc, g: _image_terms(
+            ay, ah, ac, oy, oh, oc, anc, g, num_classes_total)
     )(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, gt)
-    return jnp.mean(per_image)
+    anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
+    sel, sel_valid = nms.batched_greedy_nms(
+        anc_corners, neg_arm_ce, chosen, neg_sel_cap, 0.7, active=neg)
+    sel_f = sel_valid.astype(jnp.float32)
+    sel_arm_ce = jnp.take_along_axis(neg_arm_ce, sel, axis=1)
+    neg_arm_loss = (jnp.sum(sel_arm_ce * sel_f, -1)
+                    / jnp.maximum(jnp.sum(sel_f, -1), 1.0))
+    # ODM negatives: ARM-selected negatives whose ARM background LOGIT < 0.99
+    odm_keep = jnp.logical_and(
+        sel_valid, jnp.take_along_axis(arm_bg_logit, sel, axis=1) < 0.99
+    ).astype(jnp.float32)
+    sel_odm_ce = jnp.take_along_axis(odm_bg_ce, sel, axis=1)
+    neg_odm_loss = (jnp.sum(sel_odm_ce * odm_keep, -1)
+                    / jnp.maximum(jnp.sum(odm_keep, -1), 1.0))
+    return jnp.mean(pos_loss + neg_arm_loss + neg_odm_loss)
 
 
 def refine_decode(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,
