@@ -35,14 +35,16 @@ class _RecordIndex:
         for p in paths:
             for off, ln in tfrecord.index_records(p):
                 self.entries.append((p, off, ln))
-        self._handles: Dict[str, object] = {}
+        self._local = threading.local()  # per-thread handles: seek/read must not race
 
     def read(self, i: int) -> bytes:
         path, off, ln = self.entries[i]
-        h = self._handles.get(path)
+        handles = getattr(self._local, "handles", None)
+        if handles is None:
+            handles = self._local.handles = {}
+        h = handles.get(path)
         if h is None:
-            h = open(path, "rb")
-            self._handles[path] = h
+            h = handles[path] = open(path, "rb")
         h.seek(off)
         return h.read(ln)
 
@@ -57,7 +59,7 @@ class VOCLoader:
     def __init__(self, tfrecords: Sequence[str], batch_size: int, buffer_size: int,
                  image_preprocess_config: Dict, seed: int = 0,
                  shard_index: int = 0, num_shards: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         del buffer_size  # full index shuffle supersedes the reference's buffer
         self.index = _RecordIndex(tfrecords)
         self.batch_size = batch_size
@@ -66,6 +68,12 @@ class VOCLoader:
         ids = np.arange(len(self.index))
         self.local_ids = ids[shard_index::num_shards]
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._thread: Optional[threading.Thread] = None
         self._queue: Optional[queue.Queue] = None
         self._stop = threading.Event()
@@ -76,15 +84,19 @@ class VOCLoader:
         self.rng.shuffle(order)
         return order
 
+    def _one(self, i, seed):
+        image, shape, gt = voc.parse_voc_record(self.index.read(int(i)))
+        return image_augmentor(image=image, input_shape=shape, ground_truth=gt,
+                               rng=np.random.default_rng(seed), **self.aug_config)
+
     def _make_batch(self, ids):
-        images, gts = [], []
-        for i in ids:
-            image, shape, gt = voc.parse_voc_record(self.index.read(int(i)))
-            img, g = image_augmentor(image=image, input_shape=shape,
-                                     ground_truth=gt, rng=self.rng,
-                                     **self.aug_config)
-            images.append(img)
-            gts.append(g)
+        seeds = self.rng.integers(0, 2**63, size=len(ids))
+        if self._pool is not None:
+            results = list(self._pool.map(self._one, ids, seeds))
+        else:
+            results = [self._one(i, s) for i, s in zip(ids, seeds)]
+        images = [r[0] for r in results]
+        gts = [r[1] for r in results]
         return np.stack(images), np.stack(gts)
 
     def _producer(self):

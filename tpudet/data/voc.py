@@ -79,7 +79,19 @@ def dataset2tfrecord(xml_dir: str, img_dir: str, output_dir: str, name: str,
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 RGB HWC array (PIL; reference used tf.image.decode_jpeg)."""
+    """JPEG bytes -> uint8 RGB HWC array.
+
+    Uses OpenCV (libjpeg-turbo, ~3x faster than PIL — the decode dominates the
+    host-side pipeline cost) with a PIL fallback.
+    """
+    try:
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if arr is not None:
+            return arr[:, :, ::-1]  # BGR -> RGB
+    except ImportError:
+        pass
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as im:
