@@ -103,7 +103,7 @@ def compare(score_threshold=0.25):
          jnp.asarray(vals[10 + i][0]))
         for i in range(5)
     ]
-    scores, boxes, cids, valid = fcos_head.fcos_decode(
+    scores, boxes, cids, valid, _trunc = fcos_head.fcos_decode(
         level_preds, 20, score_threshold, 0.45, 10, pre_topk=400)
     v = np.asarray(valid)
     gs, gb, gc = np.asarray(scores)[v], np.asarray(boxes)[v], np.asarray(cids)[v]

@@ -88,7 +88,7 @@ def compare(score_threshold=0.1):
 
     anc = refine_head.build_anchors(_refine_feat_shapes(size))
     assert anc.y1x1.shape[0] == vals[0].shape[1], (anc.y1x1.shape, vals[0].shape)
-    scores, boxes, cids, valid = refine_head.refine_decode(
+    scores, boxes, cids, valid, _trunc = refine_head.refine_decode(
         *(jnp.asarray(v[0]) for v in vals), anc, 21, score_threshold, 0.45, 20,
         pre_topk=400)
     v = np.asarray(valid)

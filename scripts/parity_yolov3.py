@@ -90,7 +90,7 @@ def compare(score_threshold=0.3):
     priors_per_head = [
         [[p[0] / s, p[1] / s] for p in head] for head, s in zip(PRIORS, strides)
     ]
-    scores, boxes, cids, valid = yolo_head.yolov3_decode(
+    scores, boxes, cids, valid, _trunc = yolo_head.yolov3_decode(
         [jnp.asarray(p) for p in preds], priors_per_head, 20,
         score_threshold, 0.5, 10, pre_topk=400)
     v = np.asarray(valid)

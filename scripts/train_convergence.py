@@ -1,0 +1,269 @@
+"""Train every detector to convergence on the synthetic VOC-20 dataset and report
+held-out VOC07 mAP — the north-star acceptance metric (BASELINE.md: "VOC07 mAP
+parity, all 9 detectors"; real Pascal VOC is unreachable here, so the protocol runs
+on scripts/synthvoc.py's 5,000-image 20-class dataset, trained to plateau).
+
+Per model: reference batch/input configuration (drivers/test*.py), bf16 compute,
+uint8 host->device images, on-device LR/TD flip augmentation, a staircase LR
+schedule with warmup, loss curve + held-out mAP artifacts under
+``.convergence/runs/<model>/``.
+
+Usage:
+  python scripts/train_convergence.py MODEL [--steps-scale S] [--smoke]
+  python scripts/train_convergence.py all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import synthvoc
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA_ROOT = os.path.join(ROOT, ".convergence", "data")
+RUNS_ROOT = os.path.join(ROOT, ".convergence", "runs")
+
+
+# ----------------------------------------------------------------- feeder
+class MemmapFeeder:
+    """Infinite (images uint8, gt) batch iterator over the rendered memmaps, with a
+    one-deep prefetch thread so batch assembly overlaps the device step."""
+
+    def __init__(self, images, gt, batch: int, seed: int = 0, depth: int = 3):
+        self.images, self.gt, self.batch = images, gt, batch
+        self.rng = np.random.default_rng(seed)
+        self.q = queue.Queue(maxsize=depth)
+        self.stop = threading.Event()
+        self.t = threading.Thread(target=self._produce, daemon=True)
+        self.t.start()
+
+    def _produce(self):
+        n = self.images.shape[0]
+        order = np.arange(n)
+        pos = n  # trigger shuffle on first use
+        while not self.stop.is_set():
+            if pos + self.batch > n:
+                self.rng.shuffle(order)
+                pos = 0
+            idx = np.sort(order[pos:pos + self.batch])  # sorted: faster memmap IO
+            pos += self.batch
+            batch = (np.ascontiguousarray(self.images[idx]),
+                     np.ascontiguousarray(self.gt[idx]))
+            while not self.stop.is_set():
+                try:
+                    self.q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.q.get()
+
+    def close(self):
+        self.stop.set()
+
+
+# ----------------------------------------------------------------- model specs
+def _common(extra):
+    cfg = {
+        "mode": "train", "data_format": "channels_last", "num_classes": 20,
+        "weight_decay": 1e-4, "keep_prob": 0.5,
+        "nms_score_threshold": 0.05, "nms_max_boxes": 40,
+        "nms_iou_threshold": 0.45, "pretraining_weight": None,
+        "compute_dtype": "bfloat16", "input_dtype": "uint8",
+        "device_augment": {"flip_prob": [0.5, 0.5]},
+        "loss_sync_every": 25,
+    }
+    cfg.update(extra)
+    return cfg
+
+
+def model_specs():
+    """name -> (class path, input (h, w), config, base_lr, total_steps, schedule)
+
+    schedule: list of (fraction_of_steps, lr_multiplier); warmup is the first entry.
+    Steps are sized to plateau on the synthetic task (loss flattens well before the
+    final ÷10 drops); LRs start from the reference driver values (BASELINE.md table)
+    scaled where random-init + synthetic data needs it.
+    """
+    drop = [(0.05, 0.1), (0.70, 1.0), (0.20, 0.1), (0.05, 0.01)]
+    return {
+        "SSD300": ("tpudet.models.ssd.SSD300", (300, 300),
+                   _common({"batch_size": 32}), 1e-3, 4000, drop),
+        "SSD512": ("tpudet.models.ssd.SSD512", (512, 512),
+                   _common({"batch_size": 32}), 1e-3, 4000, drop),
+        "YOLOv2": ("tpudet.models.yolo.YOLOv2", (480, 480),
+                   _common({"batch_size": 32, "coord_scale": 1,
+                            "noobj_scale": 1, "obj_scale": 5.0, "class_scale": 1.0,
+                            "rescore_confidence": False,
+                            "priors": [[1.08, 1.19], [3.42, 4.41], [6.63, 11.38],
+                                       [9.42, 5.11], [16.62, 10.52]],
+                            "data_shape": [480, 480, 3]}),
+                   5e-4, 5000, drop),
+        "YOLOv3": ("tpudet.models.yolo.YOLOv3", (448, 448),
+                   _common({"batch_size": 12, "weight_decay": 5e-4,
+                            "coord_scale": 1, "noobj_scale": 1, "obj_scale": 5.0,
+                            "class_scale": 1.0, "num_priors": 3,
+                            "priors": [[[10.0, 13.0], [16, 30.0], [33.0, 23.0]],
+                                       [[30.0, 61.0], [62.0, 45.0], [59.0, 119.0]],
+                                       [[116.0, 90.0], [156.0, 198.0],
+                                        [373.0, 326.0]]],
+                            "data_shape": [448, 448, 3]}),
+                   5e-4, 7000, drop),
+        "RetinaNet": ("tpudet.models.retinanet.RetinaNet", (500, 500),
+                      _common({"batch_size": 32, "is_bottleneck": True,
+                               "residual_block_list": [3, 4, 6, 3],
+                               "init_conv_filters": 16, "is_pretraining": False,
+                               "gamma": 2.0, "alpha": 0.25,
+                               "data_shape": [500, 500, 3]}),
+                      1e-3, 4500, drop),
+        "RefineDet320": ("tpudet.models.refinedet.RefineDet320", (320, 320),
+                         _common({"batch_size": 32, "input_size": 320}),
+                         5e-4, 5000, drop),
+        "PFPNetR": ("tpudet.models.refinedet.PFPNetR", (320, 320),
+                    _common({"batch_size": 32, "input_size": 320}),
+                    5e-4, 5000, drop),
+        "LHRCNN": ("tpudet.models.lhrcnn.LHRCNN", (700, 1100),
+                   _common({"batch_size": 8, "data_shape": [700, 1100, 3],
+                            "is_pretraining": False,
+                            "rpn_first_step": 2500, "rcnn_first_step": 4000,
+                            "rpn_second_step": 5000, "post_nms_proposal": 500}),
+                   3e-4, 6000, [(0.05, 0.1), (0.78, 1.0), (0.17, 0.1)]),
+        "CenterNet": ("tpudet.models.centernet.CenterNet", (384, 384),
+                      _common({"batch_size": 15, "input_size": 384,
+                               "score_threshold": 0.05,
+                               "top_k_results_output": 40}),
+                      1e-3, 5000, drop),
+        "FCOS": ("tpudet.models.fcos.FCOS", (800, 1200),
+                 _common({"batch_size": 8, "data_shape": [800, 1200, 3]}),
+                 1e-3, 5000, drop),
+    }
+
+
+def _load_class(path):
+    mod, cls = path.rsplit(".", 1)
+    import importlib
+
+    return getattr(importlib.import_module(mod), cls)
+
+
+# ----------------------------------------------------------------- training
+def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
+    spec = model_specs()[name]
+    cls_path, (h, w), config, base_lr, total_steps, schedule = spec
+    total_steps = int(total_steps * steps_scale)
+    if smoke:
+        total_steps = 60
+        schedule = [(1.0, 1.0)]
+
+    run_dir = os.path.join(RUNS_ROOT, name)
+    os.makedirs(run_dir, exist_ok=True)
+    curve_path = os.path.join(run_dir, "curve.jsonl")
+
+    print(f"[{name}] rendering/loading dataset at {h}x{w} ...", flush=True)
+    d = synthvoc.build(DATA_ROOT, h, w)
+    train_images, train_gt, _, _ = synthvoc.load(d)
+
+    batch = config["batch_size"]
+    feeder = MemmapFeeder(train_images, train_gt, batch, seed=1)
+    provider = {"data_shape": [h, w, 3], "num_train": batch,  # set per chunk below
+                "num_val": 0, "train_generator": feeder, "val_generator": None}
+
+    print(f"[{name}] building model ...", flush=True)
+    model = _load_class(cls_path)(config, provider)
+    model.train_initializer = None  # feeder is infinite; no per-epoch reset
+
+    # staircase schedule in chunks so the curve gets sampled and lr can step
+    chunk = 50 if not smoke else 30
+    t0 = time.time()
+    done_steps = 0
+    curve = open(curve_path, "w")
+    for frac, mult in schedule:
+        seg_steps = max(1, int(round(total_steps * frac)))
+        lr = base_lr * mult
+        while seg_steps > 0 and done_steps < total_steps:
+            this = min(chunk, seg_steps)
+            model.num_train = this * batch
+            mean_loss = model.train_one_epoch(lr)
+            done_steps += this
+            seg_steps -= this
+            rec = {"step": done_steps, "lr": lr,
+                   "mean_loss": round(float(mean_loss), 5),
+                   "imgs_per_sec": round(done_steps * batch / (time.time() - t0), 1),
+                   "elapsed_s": round(time.time() - t0, 1)}
+            curve.write(json.dumps(rec) + "\n")
+            curve.flush()
+            if not np.isfinite(mean_loss):
+                print(f"[{name}] DIVERGED at step {done_steps}", flush=True)
+                feeder.close()
+                curve.close()
+                return {"model": name, "diverged_at": done_steps}
+    curve.close()
+    train_secs = time.time() - t0
+    feeder.close()
+    model.save_weight("latest", os.path.join(run_dir, "ckpt"))
+
+    print(f"\n[{name}] trained {done_steps} steps in {train_secs:.0f}s; "
+          f"evaluating ...", flush=True)
+    from tpudet.runtime import evaluate
+
+    n_eval = 50 if smoke else synthvoc.N_TEST
+    records = list(synthvoc.test_records(d))[:n_eval]
+    t1 = time.time()
+    mAP, aps = evaluate.evaluate_model(model, records)
+    result = {
+        "model": name, "steps": done_steps, "batch": batch,
+        "input": [h, w], "base_lr": base_lr,
+        "train_seconds": round(train_secs, 1),
+        "train_imgs_per_sec": round(done_steps * batch / train_secs, 1),
+        "eval_images": len(records),
+        "eval_seconds": round(time.time() - t1, 1),
+        "mAP@0.5_voc07": round(float(mAP), 4),
+        "per_class_AP": {str(k): round(float(v), 4) for k, v in sorted(aps.items())},
+    }
+    with open(os.path.join(run_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[{name}] mAP@0.5 = {mAP:.4f}  ({done_steps} steps, "
+          f"{result['train_imgs_per_sec']} imgs/s)", flush=True)
+    return result
+
+
+ALL = ["SSD300", "YOLOv3", "SSD512", "YOLOv2", "RetinaNet", "RefineDet320",
+       "PFPNetR", "CenterNet", "FCOS", "LHRCNN"]
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    smoke = "--smoke" in sys.argv
+    scale = 1.0
+    for a in sys.argv[1:]:
+        if a.startswith("--steps-scale="):
+            scale = float(a.split("=")[1])
+    names = ALL if (not args or args[0] == "all") else args
+    results = []
+    for name in names:
+        try:
+            results.append(run_model(name, steps_scale=scale, smoke=smoke))
+        except Exception as e:  # keep the queue going; record the failure
+            import traceback
+
+            traceback.print_exc()
+            results.append({"model": name, "error": repr(e)})
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,7 @@ class TestFCOSLoss:
             reg = np.full((fh, fw, 4), 1.0, np.float32)
             cen = np.full((fh, fw, 1), 8.0, np.float32)
             preds.append((jnp.asarray(conf), jnp.asarray(reg), jnp.asarray(cen)))
-        scores, boxes, cid, valid = fcos_head.fcos_decode(preds, C, 0.5, 0.5, 4,
+        scores, boxes, cid, valid, _ = fcos_head.fcos_decode(preds, C, 0.5, 0.5, 4,
                                                           pre_topk=8)
         got_classes = set(np.asarray(cid)[np.asarray(valid)].tolist())
         assert C - 1 not in got_classes  # Q9

@@ -104,7 +104,7 @@ class TestNMS:
         y1x1, y2x2, _, _ = random_boxes(rng, n, scale=100.0)
         b = np.concatenate([y1x1, y2x2], -1).astype(np.float32)
         cs = rng.uniform(0, 1, (c, n)).astype(np.float32)
-        sb, ss, sv = nms.per_class_nms(jnp.asarray(b), jnp.asarray(cs), 0.5, 32, 8, 0.5)
+        sb, ss, sv, _tr = nms.per_class_nms(jnp.asarray(b), jnp.asarray(cs), 0.5, 32, 8, 0.5)
         assert sb.shape == (c, 8, 4) and ss.shape == (c, 8) and sv.shape == (c, 8)
         # every valid score passes threshold, per class equal to oracle on filtered set
         for ci in range(c):

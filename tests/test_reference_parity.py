@@ -51,7 +51,7 @@ def test_decode_box_for_box(reference_run):
     from tpudet.models.ssd import _ssd_feat_shapes
 
     anc = ssd_head.build_anchors(300, _ssd_feat_shapes(300, (2, 2, 1, 2)))
-    scores, boxes, cids, valid = ssd_head.ssd_decode(
+    scores, boxes, cids, valid, _ = ssd_head.ssd_decode(
         jnp.asarray(rconf[0]), jnp.asarray(ryx[0]), jnp.asarray(rhw[0]), anc,
         0.15, 0.5, 20, pre_topk=2000)
     v = np.asarray(valid)

@@ -114,7 +114,7 @@ class TestSSDDecode:
         pconf[40] = [8, 0, 0, 0, 0, 0]
         pyx = np.zeros((A, 2), np.float32)
         phw = np.zeros((A, 2), np.float32)
-        scores, boxes, cid, valid = ssd_head.ssd_decode(
+        scores, boxes, cid, valid, _ = ssd_head.ssd_decode(
             jnp.asarray(pconf), jnp.asarray(pyx), jnp.asarray(phw), anc,
             score_threshold=0.5, iou_threshold=0.45, max_boxes=4, pre_topk=16,
         )

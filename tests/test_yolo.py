@@ -111,7 +111,7 @@ class TestYOLODecode:
         view[0, 1, 0, C + 2:C + 4] = 0.0  # exp -> +1
         view[0, 1, 0, C + 4] = 8.0
         del base
-        scores, boxes, cid, valid = yolo_head.yolov2_decode(
+        scores, boxes, cid, valid, _ = yolo_head.yolov2_decode(
             jnp.asarray(pred), priors, C, 32.0, 0.5, 0.5, 4, pre_topk=8)
         valid = np.asarray(valid)
         assert valid.sum() == 1

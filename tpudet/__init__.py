@@ -8,4 +8,27 @@ training over a `jax.sharding.Mesh`, and a TFRecord/VOC data subsystem that does
 depend on TensorFlow.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX's persistent compilation cache at a repo-local directory unless the
+    user already configured one. TPU compiles of the larger detectors take minutes;
+    the cache turns every rerun (drivers, benchmarks, tests) into a warm start."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user/env already chose a cache location
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never make importing tpudet fail over a cache
+        pass
+
+
+_enable_persistent_compile_cache()

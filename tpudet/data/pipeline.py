@@ -52,6 +52,13 @@ class _RecordIndex:
         return len(self.entries)
 
 
+class _ProducerError:
+    """Sentinel carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class VOCLoader:
     """Iterator of augmented (images, gt) batches; infinite (``repeat()``), with
     ``reset()`` reshuffling and restarting like the reference's initializer."""
@@ -99,20 +106,32 @@ class VOCLoader:
         gts = [r[1] for r in results]
         return np.stack(images), np.stack(gts)
 
-    def _producer(self):
-        while not self._stop.is_set():
-            order = self._epoch_order()
-            nb = len(order) // self.batch_size
-            for b in range(nb):
-                if self._stop.is_set():
+    def _producer(self, stop: threading.Event, out: queue.Queue):
+        # stop/out are captured at thread start: if reset() times out joining this
+        # thread and spawns a replacement, the orphan keeps honoring ITS OWN stop
+        # event and never produces into the new queue
+        try:
+            while not stop.is_set():
+                order = self._epoch_order()
+                nb = len(order) // self.batch_size
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    batch = self._make_batch(
+                        order[b * self.batch_size:(b + 1) * self.batch_size])
+                    while not stop.is_set():
+                        try:
+                            out.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+        except BaseException as exc:  # surface decode/augment errors to __next__
+            while not stop.is_set():
+                try:
+                    out.put(_ProducerError(exc), timeout=0.5)
                     return
-                batch = self._make_batch(order[b * self.batch_size:(b + 1) * self.batch_size])
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                except queue.Full:
+                    continue
 
     def reset(self):
         """Restart (reference: rerun the iterator initializer per epoch)."""
@@ -121,14 +140,25 @@ class VOCLoader:
             self._thread.join(timeout=5)
         self._stop = threading.Event()
         self._queue = queue.Queue(maxsize=max(1, self.prefetch))
-        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread = threading.Thread(
+            target=self._producer, args=(self._stop, self._queue), daemon=True)
         self._thread.start()
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        return self._queue.get()
+        while True:
+            try:
+                item = self._queue.get(timeout=5.0)
+            except queue.Empty:
+                if self._thread is not None and not self._thread.is_alive():
+                    raise RuntimeError(
+                        "input pipeline producer thread died without an error")
+                continue
+            if isinstance(item, _ProducerError):
+                raise RuntimeError("input pipeline producer failed") from item.exc
+            return item
 
     def close(self):
         self._stop.set()

@@ -32,13 +32,21 @@ def _load_native():
         return _native
     src = os.path.join(_NATIVE_DIR, "crc32c.c")
     if not os.path.exists(_SO_PATH) and os.path.exists(src):
+        # compile to a process-unique temp name and os.rename() into place:
+        # rename is atomic, so concurrent processes (multi-host training,
+        # parallel pytest) never CDLL a partially written .so
+        tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
         try:
             subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", src, "-o", _SO_PATH],
+                ["g++", "-O3", "-fPIC", "-shared", src, "-o", tmp],
                 check=True, capture_output=True,
             )
+            os.rename(tmp, _SO_PATH)
         except Exception:
-            pass
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     if os.path.exists(_SO_PATH):
         try:
             lib = ctypes.CDLL(_SO_PATH)

@@ -104,11 +104,13 @@ def centernet_image_loss(keypoints, offset, size, gt, num_classes, stride=4.0):
     return keyp_loss + 0.1 * size_loss + offset_loss
 
 
-def centernet_loss(keypoints, offset, size, gt, num_classes, stride=4.0):
+def centernet_loss(keypoints, offset, size, gt, num_classes, stride=4.0,
+                   sample_weight=None):
     per_image = jax.vmap(
         lambda k, o, s, g: centernet_image_loss(k, o, s, g, num_classes, stride)
     )(keypoints, offset, size, gt)
-    return jnp.mean(per_image)
+    from tpudet.ops import losses as loss_ops
+    return loss_ops.weighted_mean(per_image, sample_weight)
 
 
 def centernet_decode(keypoints, offset, size, score_threshold, top_k, stride=4.0):

@@ -164,12 +164,13 @@ def fcos_image_loss(level_preds, gt, num_classes):
     return loss
 
 
-def fcos_loss(level_preds, gt, num_classes):
+def fcos_loss(level_preds, gt, num_classes, sample_weight=None):
     per_image = jax.vmap(lambda *flat: fcos_image_loss(
         [(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2]) for i in range(len(level_preds))],
         flat[-1], num_classes
     ))(*[t for lvl in level_preds for t in lvl], gt)
-    return jnp.mean(per_image)
+    from tpudet.ops import losses as loss_ops
+    return loss_ops.weighted_mean(per_image, sample_weight)
 
 
 def fcos_decode(level_preds, num_classes, score_threshold, iou_threshold, max_boxes,
@@ -191,10 +192,10 @@ def fcos_decode(level_preds, num_classes, score_threshold, iou_threshold, max_bo
     conf = jnp.concatenate(all_conf, 0)
     boxes = jnp.concatenate(all_boxes, 0)
     c_emit = num_classes - 1  # Q9
-    sel_boxes, sel_scores, sel_valid = nms.per_class_nms(
+    sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes, conf[:, :c_emit].T, score_threshold, pre_topk, max_boxes,
         iou_threshold)
     cid = jnp.broadcast_to(jnp.arange(c_emit, dtype=jnp.int32)[:, None],
                            (c_emit, max_boxes))
     return (sel_scores.reshape(-1), sel_boxes.reshape(-1, 4), cid.reshape(-1),
-            sel_valid.reshape(-1))
+            sel_valid.reshape(-1), trunc)

@@ -241,7 +241,7 @@ def rpn_image_loss_and_sample(pyx, phw, pconf, anc: AnchorSet, gt) -> RPNSample:
 
 
 def rcnn_losses(roi_head_fn, rcnn_feat, sample: RPNSample, img_h: float, img_w: float,
-                num_classes_total: int):
+                num_classes_total: int, sample_weight=None):
     """Batched RCNN stage: crop_and_resize each image's sampled proposals, run the RoI
     head, CE over pos+neg rows + smooth-L1 over pos rows (LH_RCNN.py:140-177).
 
@@ -268,12 +268,19 @@ def rcnn_losses(roi_head_fn, rcnn_feat, sample: RPNSample, img_h: float, img_w: 
     labels = jnp.concatenate([pos_labels, neg_labels])
     valid = jnp.concatenate([sample.pos_valid.reshape(-1),
                              sample.neg_valid.reshape(-1)]).astype(jnp.float32)
+    if sample_weight is not None:
+        # zero out proposal rows that belong to mesh-padding images
+        w = sample_weight.astype(jnp.float32)
+        row_w = jnp.concatenate([jnp.repeat(w, POS_CAP), jnp.repeat(w, TOTAL_CAP)])
+        valid = valid * row_w
     ce = loss_ops.softmax_cross_entropy(pconf, labels)
     conf_loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     pos_pbbox = pbbox[:n_pos_rows]
     truth = sample.pos_truth.reshape(-1, 4)
     pv = sample.pos_valid.reshape(-1).astype(jnp.float32)
+    if sample_weight is not None:
+        pv = pv * jnp.repeat(sample_weight.astype(jnp.float32), POS_CAP)
     box_l = jnp.sum(loss_ops.smooth_l1(pos_pbbox - truth), -1)
     box_loss = jnp.sum(box_l * pv) / jnp.maximum(jnp.sum(pv), 1.0)
     return conf_loss + box_loss
@@ -305,10 +312,10 @@ def lhrcnn_decode(roi_head_fn, rcnn_feat, pyx, phw, pconf, anc: AnchorSet,
     d_hw = prop_hw2 * jnp.exp(rbbox[:, 2:4])
     boxes = jnp.concatenate([d_yx - d_hw / 2.0, d_yx + d_hw / 2.0], -1)
     class_scores = conf[:, : num_classes_total - 1].T
-    sel_boxes, sel_scores, sel_v = nms.per_class_nms(
+    sel_boxes, sel_scores, sel_v, trunc = nms.per_class_nms(
         boxes, class_scores, score_threshold, min(pre_topk, post_nms_proposal),
         max_boxes, iou_threshold, class_active=keep)
     c = num_classes_total - 1
     cid = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[:, None], (c, max_boxes))
     return (sel_scores.reshape(-1), sel_boxes.reshape(-1, 4), cid.reshape(-1),
-            sel_v.reshape(-1))
+            sel_v.reshape(-1), trunc)

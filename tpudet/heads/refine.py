@@ -327,7 +327,8 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
 
 
 def refine_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,
-                gt, num_classes_total: int, neg_sel_cap: int = 384):
+                gt, num_classes_total: int, neg_sel_cap: int = 384,
+                sample_weight=None):
     (pos_loss, neg_arm_ce, neg, chosen, arm_bg_logit, odm_bg_ce) = jax.vmap(
         lambda ay, ah, ac, oy, oh, oc, g: _image_terms(
             ay, ah, ac, oy, oh, oc, anc, g, num_classes_total)
@@ -346,7 +347,8 @@ def refine_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorS
     sel_odm_ce = jnp.take_along_axis(odm_bg_ce, sel, axis=1)
     neg_odm_loss = (jnp.sum(sel_odm_ce * odm_keep, -1)
                     / jnp.maximum(jnp.sum(odm_keep, -1), 1.0))
-    return jnp.mean(pos_loss + neg_arm_loss + neg_odm_loss)
+    return loss_ops.weighted_mean(pos_loss + neg_arm_loss + neg_odm_loss,
+                                  sample_weight)
 
 
 def refine_decode(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,
@@ -362,10 +364,10 @@ def refine_decode(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: Ancho
     y1x1, y2x2 = box_ops.center_to_corners(o_yx, o_hw)
     boxes = jnp.concatenate([y1x1, y2x2], -1)
     class_scores = odmp[:, : num_classes_total - 1].T
-    sel_boxes, sel_scores, sel_valid = nms.per_class_nms(
+    sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes, class_scores, score_threshold, pre_topk, max_boxes, iou_threshold,
         class_active=keep)
     c = num_classes_total - 1
     cid = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[:, None], (c, max_boxes))
     return (sel_scores.reshape(-1), sel_boxes.reshape(-1, 4), cid.reshape(-1),
-            sel_valid.reshape(-1))
+            sel_valid.reshape(-1), trunc)

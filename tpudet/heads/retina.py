@@ -141,8 +141,8 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
 
 
 def retina_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
-                alpha: float, gamma: float):
+                alpha: float, gamma: float, sample_weight=None):
     per_image = jax.vmap(
         lambda y, h, c, g: _image_loss(y, h, c, anc, g, num_classes_total, alpha, gamma)
     )(pyx, phw, pconf, gt)
-    return jnp.mean(per_image)
+    return loss_ops.weighted_mean(per_image, sample_weight)

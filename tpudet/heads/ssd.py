@@ -158,7 +158,7 @@ def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int):
 
 
 def ssd_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
-             neg_sel_cap: int = 384):
+             neg_sel_cap: int = 384, sample_weight=None):
     """Batched SSD loss: mean of per-image losses (SSD300.py:128-148). The
     hard-negative mining NMS is one batched device program over the shared anchor
     boxes (a Pallas kernel on TPU)."""
@@ -171,7 +171,7 @@ def ssd_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
     sel_f = sel_valid.astype(jnp.float32)
     sel_ce = jnp.take_along_axis(neg_ce, sel, axis=1)
     neg_loss = jnp.sum(sel_ce * sel_f, -1) / jnp.maximum(jnp.sum(sel_f, -1), 1.0)
-    return jnp.mean(pos_loss + neg_loss)
+    return loss_ops.weighted_mean(pos_loss + neg_loss, sample_weight)
 
 
 def ssd_decode(pconf, pyx, phw, anc: AnchorSet, score_threshold: float,
@@ -190,7 +190,7 @@ def ssd_decode(pconf, pyx, phw, anc: AnchorSet, score_threshold: float,
     y1x1, y2x2 = box_ops.center_to_corners(byx, bhw)
     boxes4 = jnp.concatenate([y1x1, y2x2], -1)
     class_scores = conf[:, : num_classes_total - 1].T  # [C, A]
-    sel_boxes, sel_scores, sel_valid = nms.per_class_nms(
+    sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes4, class_scores, score_threshold, pre_topk, max_boxes, iou_threshold,
         class_active=not_bg,
     )
@@ -198,7 +198,7 @@ def ssd_decode(pconf, pyx, phw, anc: AnchorSet, score_threshold: float,
     class_id = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[:, None],
                                 (c, max_boxes))
     return (sel_scores.reshape(-1), sel_boxes.reshape(-1, 4),
-            class_id.reshape(-1), sel_valid.reshape(-1))
+            class_id.reshape(-1), sel_valid.reshape(-1), trunc)
 
 
 class SSDNet(nn.Module):

@@ -146,12 +146,13 @@ def yolov2_image_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scale
             + noobj_s * noobj_l)
 
 
-def yolov2_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scales):
+def yolov2_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scales,
+                sample_weight=None):
     per_image = jax.vmap(
         lambda p, g: yolov2_image_loss(p, priors_hw, g, num_classes,
                                        downsampling_rate, scales)
     )(pred, gt)
-    return jnp.mean(per_image)
+    return loss_ops.weighted_mean(per_image, sample_weight)
 
 
 def yolov2_decode(pred, priors_hw, num_classes, downsampling_rate,
@@ -167,12 +168,12 @@ def yolov2_decode(pred, priors_hw, num_classes, downsampling_rate,
     boxes = jnp.concatenate([byx - bhw / 2.0, byx + bhw / 2.0], -1) * downsampling_rate
     conf = (jax.nn.sigmoid(pclass.reshape(-1, num_classes))
             * jax.nn.sigmoid(pobj.reshape(-1, 1)))
-    sel_boxes, sel_scores, sel_valid = nms.per_class_nms(
+    sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes, conf.T, score_threshold, pre_topk, max_boxes, iou_threshold)
     cid = jnp.broadcast_to(jnp.arange(num_classes, dtype=jnp.int32)[:, None],
                            (num_classes, max_boxes))
     return (sel_scores.reshape(-1), sel_boxes.reshape(-1, 4), cid.reshape(-1),
-            sel_valid.reshape(-1))
+            sel_valid.reshape(-1), trunc)
 
 
 # --------------------------------------------------------------------- YOLOv3
@@ -227,12 +228,13 @@ def yolov3_image_loss(preds, priors_per_head, gt, num_classes, scales):
     return pos + neg
 
 
-def yolov3_loss(preds, priors_per_head, gt, num_classes, scales):
+def yolov3_loss(preds, priors_per_head, gt, num_classes, scales,
+                sample_weight=None):
     per_image = jax.vmap(
         lambda p1, p2, p3, g: yolov3_image_loss((p1, p2, p3), priors_per_head, g,
                                                 num_classes, scales)
     )(preds[0], preds[1], preds[2], gt)
-    return 0.5 * jnp.mean(per_image)  # YOLOv3.py:313
+    return 0.5 * loss_ops.weighted_mean(per_image, sample_weight)  # YOLOv3.py:313
 
 
 def yolov3_decode(preds, priors_per_head, num_classes, score_threshold,
@@ -254,12 +256,12 @@ def yolov3_decode(preds, priors_per_head, num_classes, score_threshold,
                         * jax.nn.sigmoid(pobj.reshape(-1, 1)))
     boxes = jnp.concatenate(all_boxes, 0)
     conf = jnp.concatenate(all_conf, 0)
-    sel_boxes, sel_scores, sel_valid = nms.per_class_nms(
+    sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes, conf.T, score_threshold, pre_topk, max_boxes, iou_threshold)
     cid = jnp.broadcast_to(jnp.arange(num_classes, dtype=jnp.int32)[:, None],
                            (num_classes, max_boxes))
     return (sel_scores.reshape(-1), sel_boxes.reshape(-1, 4), cid.reshape(-1),
-            sel_valid.reshape(-1))
+            sel_valid.reshape(-1), trunc)
 
 
 # --------------------------------------------------------------------- networks

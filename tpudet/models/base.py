@@ -69,6 +69,10 @@ class DetectorBase:
         self.compute_dtype = (
             jnp.bfloat16 if config.get("compute_dtype") == "bfloat16" else jnp.float32
         )
+        # 'uint8' halves host->device image bandwidth; the cast to f32 happens on
+        # device at the top of the step (free: XLA fuses it into the first op)
+        self.input_dtype = (
+            np.uint8 if config.get("input_dtype") == "uint8" else np.float32)
         self.data_provider = data_provider or {}
         if self.mode == "train" and data_provider is not None:
             self.num_train = data_provider["num_train"]
@@ -90,11 +94,15 @@ class DetectorBase:
     def _build(self):
         raise NotImplementedError
 
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
+        """Batch loss; ``sample_weight`` masks mesh-padding rows (None = no padding)."""
         raise NotImplementedError
 
-    def _decode_outputs(self, outputs):
-        """Single-image decode: outputs -> (scores, boxes, class_id, valid)."""
+    def _decode_outputs(self, outputs, pre_topk: int):
+        """Single-image decode: outputs -> (scores, boxes, class_id, valid,
+        truncated). ``truncated`` True means more than ``pre_topk`` candidates passed
+        the score filter for some class, so the caller should retry with a larger
+        ``pre_topk`` for exact reference NMS semantics."""
         raise NotImplementedError
 
     def _make_optimizer(self):
@@ -125,30 +133,60 @@ class DetectorBase:
         self.opt_state = self._optimizer.init(self.params) if self.mode == "train" else None
 
     def _setup_mesh(self):
-        full = mesh_lib.data_mesh()
-        dp = mesh_lib.usable_data_parallelism(self.batch_size, full)
-        self.mesh = mesh_lib.data_mesh(num_devices=dp)
+        # Always use the FULL slice: when the batch does not divide the device
+        # count, the batch is padded with repeated samples up to ``device_batch``
+        # and the padding rows are masked out of the loss (weighted mean), instead
+        # of idling devices (e.g. the reference YOLOv3 bs12 / CenterNet bs15
+        # configs on a v5e-8).
+        self.mesh = mesh_lib.data_mesh()
+        n = self.mesh.shape[mesh_lib.DATA_AXIS]
+        self.device_batch = (
+            -(-self.batch_size // n) * n if self.mode == "train" else self.batch_size
+        )
         self.params = mesh_lib.replicate_tree(self.mesh, self.params)
         self.batch_stats = mesh_lib.replicate_tree(self.mesh, self.batch_stats)
         if self.opt_state is not None:
             self.opt_state = mesh_lib.replicate_tree(self.mesh, self.opt_state)
 
+    def _sample_weight(self):
+        """[device_batch] mask of real rows, or None when the batch needs no pad."""
+        if self.mode != "train" or self.device_batch == self.batch_size:
+            return None
+        return jnp.asarray(
+            np.arange(self.device_batch) < self.batch_size, jnp.float32)
+
+    def _device_augment(self, images, gt, step):
+        """Optional augmentation compiled INTO the train step (config key
+        'device_augment'): the host pipeline only decodes/resizes and the
+        bandwidth-heavy flip/color-jitter work rides the TPU (SURVEY.md §7.1)."""
+        aug_cfg = self.config.get("device_augment")
+        if not aug_cfg:
+            return images, gt
+        from tpudet.data import device_augment
+
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(int(self.config.get("seed", 0)) ^ 0x5EED), step)
+        return device_augment.apply(key, images, gt, aug_cfg)
+
     def _compile(self):
         net, wd, optimizer = self.net, self.weight_decay, self._optimizer
+        sample_weight = self._sample_weight()
 
-        def forward_loss(params, bstats, images, gt):
+        def forward_loss(params, bstats, images, gt, step):
+            images = images.astype(jnp.float32)
+            images, gt = self._device_augment(images, gt, step)
             images = self._preprocess(images)
             outputs, mut = net.apply(
                 {"params": params, "batch_stats": bstats}, images, True,
                 mutable=["batch_stats"],
             )
-            loss = self._loss_from_outputs(outputs, gt)
+            loss = self._loss_from_outputs(outputs, gt, sample_weight)
             loss = loss + wd * global_l2(params)
             return loss, mut["batch_stats"]
 
-        def train_step(params, bstats, opt_state, images, gt, lr):
+        def train_step(params, bstats, opt_state, images, gt, lr, step):
             (loss, new_stats), grads = jax.value_and_grad(forward_loss, has_aux=True)(
-                params, bstats, images, gt
+                params, bstats, images, gt, step
             )
             new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
             return new_params, new_stats, new_opt, loss
@@ -156,57 +194,96 @@ class DetectorBase:
         if self.mode == "train":
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
-        def infer(params, bstats, images):
-            images = self._preprocess(images)
-            outputs = net.apply({"params": params, "batch_stats": bstats}, images, False)
-            return self._decode_outputs(outputs)
+        self._infer_cache = {}
+        self._base_pre_topk = int(self.config.get("nms_pre_topk", 200))
 
-        self._infer = jax.jit(infer)
+    def _build_infer(self, pre_topk: int):
+        net = self.net
+
+        def infer(params, bstats, images):
+            images = self._preprocess(images.astype(jnp.float32))
+            outputs = net.apply({"params": params, "batch_stats": bstats}, images,
+                                False)
+            return self._decode_outputs(outputs, pre_topk)
+
+        return jax.jit(infer)
+
+    def _infer_at(self, pre_topk: int):
+        fn = self._infer_cache.get(pre_topk)
+        if fn is None:
+            fn = self._infer_cache[pre_topk] = self._build_infer(pre_topk)
+        return fn
 
     # ------------------------------------------------------------ public API
     def train_one_epoch(self, lr, writer=None) -> float:
         """One epoch; optional ``writer`` gets per-step loss scalars
-        (YOLOv2.py:305-316 contract, available on every model here)."""
+        (YOLOv2.py:305-316 contract, available on every model here).
+
+        Losses stay ON DEVICE and are fetched every ``loss_sync_every`` steps
+        (config, default 16): a per-step ``float(loss)`` would block dispatch on a
+        device round-trip every iteration. The ``\\r`` progress line therefore
+        shows the most recently synced loss; the returned epoch mean is exact."""
         if callable(self.train_initializer):
             self.train_initializer()
         num_iters = self.num_train // self.batch_size
+        sync_every = max(1, int(self.config.get("loss_sync_every", 16)))
         losses = []
+        shown = float("nan")
         for i in range(num_iters):
             images, gt = next(self.train_iterator)
             images, gt = self._to_device(images, gt)
             self.params, self.batch_stats, self.opt_state, loss = self._train_step(
                 self.params, self.batch_stats, self.opt_state, images, gt,
-                jnp.float32(lr),
+                jnp.float32(lr), jnp.int32(self.global_step),
             )
             self.global_step += 1
-            loss = float(loss)
-            sys.stdout.write(f"\r>> iters {i}/{num_iters} loss {loss}")
-            sys.stdout.flush()
             losses.append(loss)
+            if (i + 1) % sync_every == 0 or i + 1 == num_iters:
+                shown = float(loss)  # bounds the async dispatch queue too
+            sys.stdout.write(f"\r>> iters {i}/{num_iters} loss {shown}")
+            sys.stdout.flush()
             if writer is not None:
                 writer.add_summary(loss, global_step=self.global_step)
         sys.stdout.write("\n")
-        return float(np.mean(losses)) if losses else float("nan")
+        if not losses:
+            return float("nan")
+        return float(np.mean(jax.device_get(losses)))
 
     def _to_device(self, images, gt):
-        images = np.ascontiguousarray(images, np.float32)
+        images = np.ascontiguousarray(images, self.input_dtype)
         if self.data_format == "channels_first":
             images = images.transpose(0, 2, 3, 1)
         gt = np.ascontiguousarray(gt, np.float32)
+        if self.mode == "train" and images.shape[0] != self.device_batch:
+            # pad the batch up to the mesh with repeated samples; the loss masks
+            # them out via _sample_weight (duplicates, not zeros, so BatchNorm
+            # batch statistics stay on-distribution)
+            idx = np.arange(self.device_batch) % images.shape[0]
+            images, gt = images[idx], gt[idx]
         return mesh_lib.shard_batch(self.mesh, images, gt)
 
     def test_one_image(self, images):
         """images: [1, H, W, 3] (or CHW for channels_first). Returns
         [scores, bbox(y1x1y2x2 pixels), class_id] with padding stripped
-        (SSD300.py:486-488 contract)."""
-        images = np.ascontiguousarray(images, np.float32)
+        (SSD300.py:486-488 contract).
+
+        NMS exactness guard: if more candidates pass the score filter than the
+        compiled ``pre_topk`` (possible at the low thresholds mAP runs use), the
+        decode reports truncation and is retried with a doubled ``pre_topk``
+        (each size compiles once and is cached) until exact."""
+        images = np.ascontiguousarray(images, np.float32)  # inference keeps f32
         if self.data_format == "channels_first":
             images = images.transpose(0, 2, 3, 1)
-        # one device_get for all outputs: separate np.asarray calls would pay a
-        # device round-trip each
-        scores, bbox, cid, valid = jax.device_get(
-            self._infer(self.params, self.batch_stats, jnp.asarray(images)))
-        return [scores[valid], bbox[valid], cid[valid]]
+        images = jnp.asarray(images)
+        pre_topk = self._base_pre_topk
+        while True:
+            # one device_get for all outputs: separate np.asarray calls would pay
+            # a device round-trip each
+            scores, bbox, cid, valid, trunc = jax.device_get(
+                self._infer_at(pre_topk)(self.params, self.batch_stats, images))
+            if not bool(trunc):
+                return [scores[valid], bbox[valid], cid[valid]]
+            pre_topk *= 2  # terminates: trunc is False once pre_topk covers all
 
     def save_weight(self, mode: str, path: str):
         assert mode in ("latest", "best")

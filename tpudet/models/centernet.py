@@ -43,16 +43,19 @@ class CenterNet(DetectorBase):
         self.net = center_head.CenterNetNet(num_classes=self.raw_classes,
                                             dtype=self.compute_dtype)
 
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         keypoints, offset, size = outputs
         return center_head.centernet_loss(keypoints, offset, size, gt,
-                                          self.raw_classes)
+                                          self.raw_classes,
+                                          sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
+        del pre_topk  # peak top-k decode has no NMS truncation (CenterNet.py:159-185)
         keypoints, offset, size = outputs
-        return center_head.centernet_decode(
+        out = center_head.centernet_decode(
             keypoints[0], offset[0], size[0], self.score_threshold,
             int(self.top_k_results_output))
+        return (*out, jnp.asarray(False))
 
     def load_pretrained_weight(self, path: str):
         blob = ckpt_lib.load_state(path)

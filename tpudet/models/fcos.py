@@ -33,15 +33,15 @@ class FCOS(DetectorBase):
         self.net = fcos_head.FCOSNet(num_classes=self.raw_classes,
                                      dtype=self.compute_dtype)
 
-    def _loss_from_outputs(self, outputs, gt):
-        return fcos_head.fcos_loss(outputs, gt, self.raw_classes)
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
+        return fcos_head.fcos_loss(outputs, gt, self.raw_classes,
+                                   sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
         single = [tuple(t[0] for t in lvl) for lvl in outputs]
         return fcos_head.fcos_decode(
             single, self.raw_classes, self.nms_score_threshold,
-            self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=int(self.config.get("nms_pre_topk", 200)))
+            self.nms_iou_threshold, self.nms_max_boxes, pre_topk=pre_topk)
 
     def load_pretrained_weight(self, path: str):
         blob = ckpt_lib.load_state(path)

@@ -136,7 +136,11 @@ class LHRCNN(DetectorBase):
         anc = self.anchors
         s1, s2, s3 = self.rpn_first_step, self.rcnn_first_step, self.rpn_second_step
 
-        def forward_losses(params, bstats, images, gt, is_rpn):
+        sample_weight = self._sample_weight()
+
+        def forward_losses(params, bstats, images, gt, is_rpn, step):
+            images = images.astype(jnp.float32)
+            images, gt = self._device_augment(images, gt, step)
             images = self._preprocess(images)
             (rpn_conf, rpn_loc, rcnn_feat), mut = net.apply(
                 {"params": params, "batch_stats": bstats}, images, True,
@@ -145,14 +149,17 @@ class LHRCNN(DetectorBase):
             sample = jax.vmap(
                 lambda y, hw_, c, g: lh.rpn_image_loss_and_sample(y, hw_, c, anc, g)
             )(pyx, phw, pconf, gt)
-            rpn_loss = jnp.mean(sample.rpn_loss)
+            from tpudet.ops import losses as loss_ops
+
+            rpn_loss = loss_ops.weighted_mean(sample.rpn_loss, sample_weight)
 
             def roi_fn(feats):
                 return net.apply({"params": params, "batch_stats": bstats}, feats,
                                  method=LHRCNNNet.roi_head)
 
             rcnn_loss = lh.rcnn_losses(roi_fn, rcnn_feat.astype(jnp.float32), sample,
-                                       float(h), float(w), c_total)
+                                       float(h), float(w), c_total,
+                                       sample_weight=sample_weight)
             fe_rpn_l2 = global_l2({"fe": params["feature_extractor"],
                                    "rpn": params["rpn"]})
             rcnn_l2 = global_l2(params["rcnn"])
@@ -165,7 +172,8 @@ class LHRCNN(DetectorBase):
             is_rpn = jnp.logical_or(
                 step < s1, jnp.logical_and(step >= s2, step < s3))
             (loss, new_stats), grads = jax.value_and_grad(
-                forward_losses, has_aux=True)(params, bstats, images, gt, is_rpn)
+                forward_losses, has_aux=True)(params, bstats, images, gt, is_rpn,
+                                              step)
             cand_params, cand_opt = optimizer.update(grads, opt_state, params, lr)
 
             def merge(scope_filter, new_tree, old_tree, scope):
@@ -185,8 +193,16 @@ class LHRCNN(DetectorBase):
         if self.mode == "train":
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
+        self._infer_cache = {}
+        self._base_pre_topk = int(self.config.get("nms_pre_topk", 100))
+
+    def _build_infer(self, pre_topk: int):
+        net = self.net
+        h, w = self.data_shape_hw
+        c_total, anc = self.num_classes, self.anchors
+
         def infer(params, bstats, images):
-            images = self._preprocess(images)
+            images = self._preprocess(images.astype(jnp.float32))
             rpn_conf, rpn_loc, rcnn_feat = net.apply(
                 {"params": params, "batch_stats": bstats}, images, False)
             pyx, phw, pconf = self._split_rpn(rpn_conf, rpn_loc)
@@ -199,15 +215,17 @@ class LHRCNN(DetectorBase):
                 roi_fn, rcnn_feat[0].astype(jnp.float32), pyx[0], phw[0], pconf[0],
                 anc, float(h), float(w), c_total, self.post_nms_proposal,
                 self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-                pre_topk=int(self.config.get("nms_pre_topk", 100)))
+                pre_topk=pre_topk)
 
-        self._infer = jax.jit(infer)
+        return jax.jit(infer)
 
     def train_one_epoch(self, lr):
         if callable(self.train_initializer):
             self.train_initializer()
         num_iters = self.num_train // self.batch_size
+        sync_every = max(1, int(self.config.get("loss_sync_every", 16)))
         losses = []
+        shown = float("nan")
         for i in range(num_iters):
             images, gt = next(self.train_iterator)
             images, gt = self._to_device(images, gt)
@@ -215,7 +233,9 @@ class LHRCNN(DetectorBase):
                 self.params, self.batch_stats, self.opt_state, images, gt,
                 jnp.float32(lr), jnp.int32(self.global_step))
             self.global_step += 1
-            loss = float(loss)
+            losses.append(loss)
+            if (i + 1) % sync_every == 0 or i + 1 == num_iters:
+                shown = float(loss)
             if self.global_step < self.rpn_first_step:
                 loss_name = "rpn_loss"
             elif self.global_step < self.rcnn_first_step:
@@ -224,10 +244,32 @@ class LHRCNN(DetectorBase):
                 loss_name = "rpn_loss"
             else:
                 loss_name = "rcnn_loss"
-            print("iters ", f"{i + 1}/{num_iters}", loss_name, loss,
+            print("iters ", f"{i + 1}/{num_iters}", loss_name, shown,
                   "global_step", self.global_step)
-            losses.append(loss)
-        return float(np.mean(losses)) if losses else float("nan")
+        if not losses:
+            return float("nan")
+        return float(np.mean(jax.device_get(losses)))
+
+    def load_rpn_weight(self, path: str):
+        """Restore the RPN stage (feature_extractor + rpn scopes) from a checkpoint.
+
+        The reference declares this API but ships it broken — LH_RCNN.py:506-508
+        references a ``self.rpn_saver`` that is never created. Per the
+        parity-with-intent policy (SURVEY.md §0.1) this is the working form: the
+        intended saver scope is the variables the rpn training phase owns.
+        """
+        blob = ckpt_lib.load_state(path)
+        params = dict(self.params)
+        for scope in ("feature_extractor", "rpn"):
+            params[scope] = jax.tree.map(jnp.asarray, blob["params"][scope])
+        self.params = mesh_lib.replicate_tree(self.mesh, params)
+        bstats = dict(self.batch_stats)
+        for scope in ("feature_extractor", "rpn"):
+            if scope in blob.get("batch_stats", {}):
+                bstats[scope] = jax.tree.map(jnp.asarray,
+                                             blob["batch_stats"][scope])
+        self.batch_stats = mesh_lib.replicate_tree(self.mesh, bstats)
+        print(">> load rpn weight", path, "successfully")
 
     def load_pretraining_weight(self, path: str):
         """Restore the feature_extractor scope (LH_RCNN.py:510-512)."""

@@ -52,20 +52,21 @@ class _RefineFamily(DetectorBase):
         weights = pretrain.load_vgg16(self.config.get("pretraining_weight"))
         return pretrain.inject_vgg16(params, weights, scope="feature_extractor")
 
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         arms, odms = outputs
         flat = refine_head.flatten_preds(arms, odms, self.num_classes)
         return refine_head.refine_loss(
             *flat, self.anchors, gt, self.num_classes,
-            neg_sel_cap=int(self.config.get("hard_neg_cap", 384)))
+            neg_sel_cap=int(self.config.get("hard_neg_cap", 384)),
+            sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
         arms, odms = outputs
         flat = refine_head.flatten_preds(arms, odms, self.num_classes)
         return refine_head.refine_decode(
             *(t[0] for t in flat), self.anchors, self.num_classes,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=int(self.config.get("nms_pre_topk", 200)))
+            pre_topk=pre_topk)
 
 
 class RefineDet320(_RefineFamily):

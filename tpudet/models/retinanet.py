@@ -123,7 +123,7 @@ class RetinaNet(DetectorBase):
         self.anchors = retina_head.build_anchors(h, [p3, p4, p5, p6, p7])
 
     # -------------------------------------------------- detection hooks
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         if self.is_pretraining:
             labels = gt.astype(jnp.int32)
             from tpudet.ops import losses as loss_ops
@@ -131,14 +131,15 @@ class RetinaNet(DetectorBase):
             return jnp.mean(loss_ops.softmax_cross_entropy(outputs, labels))
         pconf, pyx, phw = retina_head.flatten_preds(outputs, self.num_classes)
         return retina_head.retina_loss(pconf, pyx, phw, self.anchors, gt,
-                                       self.num_classes, self.alpha, self.gamma)
+                                       self.num_classes, self.alpha, self.gamma,
+                                       sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
         pconf, pyx, phw = retina_head.flatten_preds(outputs, self.num_classes)
         return ssd_head.ssd_decode(
             pconf[0], pyx[0], phw[0], self.anchors,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=int(self.config.get("nms_pre_topk", 200)),
+            pre_topk=pre_topk,
         )
 
     # -------------------------------------------------- pretraining mode

@@ -57,17 +57,18 @@ class _SSDFamily(DetectorBase):
         self.params = pretrain.inject_vgg16(self.params, weights,
                                             scope="feature_extractor")
 
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         pconf, pyx, phw = ssd_head.flatten_preds(outputs, self.num_classes)
         return ssd_head.ssd_loss(pconf, pyx, phw, self.anchors, gt, self.num_classes,
-                                 neg_sel_cap=int(self.config.get("hard_neg_cap", 384)))
+                                 neg_sel_cap=int(self.config.get("hard_neg_cap", 384)),
+                                 sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
         pconf, pyx, phw = ssd_head.flatten_preds(outputs, self.num_classes)
         return ssd_head.ssd_decode(
             pconf[0], pyx[0], phw[0], self.anchors,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=int(self.config.get("nms_pre_topk", 200)),
+            pre_topk=pre_topk,
         )
 
 

@@ -60,15 +60,16 @@ class YOLOv2(_YOLOBase):
             final_units=(self.raw_classes + 5) * len(self.priors_hw),
             dtype=self.compute_dtype)
 
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         return yolo_head.yolov2_loss(outputs, self.priors_hw, gt, self.raw_classes,
-                                     self.downsampling_rate, self.scales)
+                                     self.downsampling_rate, self.scales,
+                                     sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
         return yolo_head.yolov2_decode(
             outputs[0], self.priors_hw, self.raw_classes, self.downsampling_rate,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=int(self.config.get("nms_pre_topk", 200)))
+            pre_topk=pre_topk)
 
 
 class YOLOv3(_YOLOBase):
@@ -87,12 +88,13 @@ class YOLOv3(_YOLOBase):
             final_units=(self.raw_classes + 5) * num_priors,
             dtype=self.compute_dtype)
 
-    def _loss_from_outputs(self, outputs, gt):
+    def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         return yolo_head.yolov3_loss(outputs, self.priors_per_head, gt,
-                                     self.raw_classes, self.scales)
+                                     self.raw_classes, self.scales,
+                                     sample_weight=sample_weight)
 
-    def _decode_outputs(self, outputs):
+    def _decode_outputs(self, outputs, pre_topk):
         return yolo_head.yolov3_decode(
             [o[0] for o in outputs], self.priors_per_head, self.raw_classes,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=int(self.config.get("nms_pre_topk", 200)))
+            pre_topk=pre_topk)

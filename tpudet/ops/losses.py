@@ -95,3 +95,17 @@ def neg_log_iou(
     inter = inter_h * inter_w
     iou = inter / (p_area + g_area - inter + eps)
     return -jnp.log(iou + eps)
+
+
+def weighted_mean(per_sample: jnp.ndarray, sample_weight=None) -> jnp.ndarray:
+    """Mean over the REAL samples of a (possibly padded) batch.
+
+    ``sample_weight`` is 1.0 for real rows and 0.0 for padding rows appended so the
+    batch divides the device mesh (runtime/mesh.py pad_to_mesh); with no padding it
+    is None and this is a plain mean, matching the reference's per-batch loss mean
+    (e.g. SSD300.py:148).
+    """
+    if sample_weight is None:
+        return jnp.mean(per_sample)
+    w = sample_weight.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)

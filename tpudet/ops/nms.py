@@ -98,20 +98,28 @@ def batched_greedy_nms(boxes, scores, num_select, max_out: int,
     boxes = jax.lax.stop_gradient(boxes)
     scores = jax.lax.stop_gradient(scores)
     num_select = jax.lax.stop_gradient(num_select)
-    backend = jax.default_backend()
-    if backend in ("tpu", "axon"):
+
+    def _pallas(bx, s, ns):
         from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pallas
 
-        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
-                                         iou_threshold)
-    if boxes.ndim == 2:
+        return batched_greedy_nms_pallas(bx, s, ns, max_out, iou_threshold)
+
+    def _xla(bx, s, ns):
+        if bx.ndim == 2:
+            return jax.vmap(
+                lambda s_, ns_: greedy_nms(bx, s_, max_out, iou_threshold,
+                                           num_select=ns_)
+            )(s, ns)
         return jax.vmap(
-            lambda s, ns: greedy_nms(boxes, s, max_out, iou_threshold,
-                                     num_select=ns)
-        )(scores, num_select)
-    return jax.vmap(
-        lambda bx, s, ns: greedy_nms(bx, s, max_out, iou_threshold, num_select=ns)
-    )(boxes, scores, num_select)
+            lambda b_, s_, ns_: greedy_nms(b_, s_, max_out, iou_threshold,
+                                           num_select=ns_)
+        )(bx, s, ns)
+
+    # dispatch at LOWERING time, not trace time: a computation lowered for an
+    # explicit non-default backend (jit(..., backend='cpu'), or CPU tests on a TPU
+    # host) gets the right implementation either way
+    return jax.lax.platform_dependent(boxes, scores, num_select,
+                                      tpu=_pallas, default=_xla)
 
 
 def topk_then_nms(
@@ -127,19 +135,24 @@ def topk_then_nms(
     Mirrors the reference inference pattern ``boolean_mask(score >= thr)`` followed by
     per-class NMS (SSD300.py:172-188) in fixed shape. Because greedy NMS only ever
     selects in descending score order, restricting to the top ``pre_topk`` candidates
-    is exact as long as fewer than ``pre_topk`` candidates pass the score filter.
+    is exact as long as at most ``pre_topk`` candidates pass the score filter; the
+    returned ``truncated`` flag tells the caller when that bound was exceeded so it
+    can re-run with a larger ``pre_topk`` (DetectorBase.test_one_image does).
 
-    Returns ``(sel_boxes [max_out,4], sel_scores [max_out], valid [max_out])``.
+    Returns ``(sel_boxes [max_out,4], sel_scores [max_out], valid [max_out],
+    truncated bool scalar)``.
     """
-    pre_topk = min(pre_topk, scores.shape[-1])
+    full = scores.shape[-1]
+    eff_topk = min(pre_topk, full)
+    truncated = (jnp.sum(active) > eff_topk) if eff_topk < full else jnp.asarray(False)
     masked = jnp.where(active, scores, _NEG).astype(jnp.float32)
-    top_scores, top_idx = jax.lax.top_k(masked, pre_topk)
+    top_scores, top_idx = jax.lax.top_k(masked, eff_topk)
     top_boxes = boxes[top_idx]
     sel, valid = greedy_nms(
         top_boxes, top_scores, max_out, iou_threshold,
         active=top_scores > _NEG / 2,
     )
-    return top_boxes[sel], top_scores[sel], valid
+    return top_boxes[sel], top_scores[sel], valid, truncated
 
 
 def per_class_nms(
@@ -161,7 +174,9 @@ def per_class_nms(
         "argmax is not background" pre-filter, SSD300.py:160-162).
 
     Returns:
-      ``(boxes [C, max_out, 4], scores [C, max_out], valid [C, max_out])``.
+      ``(boxes [C, max_out, 4], scores [C, max_out], valid [C, max_out],
+      truncated bool scalar — True if any class had more candidates above the
+      score threshold than ``pre_topk``, i.e. the result may not be exact)``.
     """
     active = class_scores >= score_threshold
     if class_active is not None:
@@ -169,4 +184,5 @@ def per_class_nms(
     fn = partial(
         topk_then_nms, pre_topk=pre_topk, max_out=max_out, iou_threshold=iou_threshold
     )
-    return jax.vmap(lambda s, a: fn(boxes, s, a))(class_scores, active)
+    b, s, v, trunc = jax.vmap(lambda s_, a: fn(boxes, s_, a))(class_scores, active)
+    return b, s, v, jnp.any(trunc)

@@ -94,26 +94,67 @@ def evaluate_detections(
     return mAP, aps
 
 
+def eval_preprocess(image: np.ndarray, out_h: int, out_w: int,
+                    keep_aspect_ratios: bool = False, fill_mode: str = "BILINEAR",
+                    constant_values: float = 0.0):
+    """Deterministic test-time preprocessing matching the training augmentor's
+    geometry (image_augmentor.py:88-129: keep-aspect resize-and-pad, CONSTANT
+    top-left placement, or plain align-corners resize).
+
+    Returns ``(input_image [out_h, out_w, 3], unmap)`` where ``unmap(boxes)`` maps
+    predicted ``[N, 4]`` y1x1y2x2 boxes in input pixels back to original pixels.
+    """
+    from tpudet.data.augment import _resize_align_corners
+
+    h, w = image.shape[:2]
+    if fill_mode == "CONSTANT":
+        keep_aspect_ratios = True
+    if keep_aspect_ratios and fill_mode == "CONSTANT" and h <= out_h and w <= out_w:
+        canvas = np.full((out_h, out_w, image.shape[2]), constant_values, np.float32)
+        canvas[:h, :w] = image
+        return canvas, lambda boxes: boxes
+    if keep_aspect_ratios and fill_mode != "CONSTANT":
+        ratio = min(out_h / h, out_w / w)
+        if out_h / h < out_w / w:
+            rh, rw = out_h, int(w * ratio)
+        else:
+            rh, rw = int(h * ratio), out_w
+        resized = _resize_align_corners(image, rh, rw, fill_mode)
+        canvas = np.full((out_h, out_w, image.shape[2]), constant_values, np.float32)
+        canvas[:rh, :rw] = resized
+        return canvas, lambda boxes: boxes / ratio
+    mode = fill_mode if fill_mode != "CONSTANT" else "BILINEAR"
+    resized = _resize_align_corners(image, out_h, out_w, mode)
+    sy, sx = h / out_h, w / out_w
+    scale = np.asarray([sy, sx, sy, sx], np.float64)
+    return resized, lambda boxes: boxes * scale
+
+
 def evaluate_model(model, records, use_07_metric: bool = True,
-                   iou_threshold: float = 0.5):
+                   iou_threshold: float = 0.5, preprocess_config=None):
     """End-to-end eval loop over parsed VOC records.
 
     ``records``: iterable of (image [H,W,3] float, gt_corner [N,5]
-    rows [ymin, ymax, xmin, xmax, class_id] — the raw VOC record layout). Images are
-    resized to the model's input by the caller-supplied preprocessing inside
-    ``test_one_image``; here we resize with plain bilinear and scale boxes.
-    """
-    from tpudet.data.augment import _resize_plain
+    rows [ymin, ymax, xmin, xmax, class_id] — the raw VOC record layout).
 
+    ``preprocess_config``: the model's ``image_augmentor_config`` dict (or any dict
+    with ``keep_aspect_ratios`` / ``fill_mode`` / ``constant_values``) so evaluation
+    preprocessing matches the training distribution — keep-aspect models
+    (the reference FCOS/LH-RCNN driver configs) would otherwise be evaluated on
+    stretched inputs. With None, plain align-corners bilinear resize is used.
+    """
+    cfg = preprocess_config or {}
     dets, gts = {}, {}
     h_in, w_in = model._data_shape_nhwc()[:2]
     for i, (image, gt) in enumerate(records):
-        h, w = image.shape[:2]
-        resized = _resize_plain(image, h_in, w_in)
-        scores, boxes, cids = model.test_one_image(resized[None])
-        sy, sx = h / h_in, w / w_in
+        inp, unmap = eval_preprocess(
+            image, h_in, w_in,
+            keep_aspect_ratios=bool(cfg.get("keep_aspect_ratios", False)),
+            fill_mode=cfg.get("fill_mode", "BILINEAR"),
+            constant_values=float(cfg.get("constant_values", 0.0)))
+        scores, boxes, cids = model.test_one_image(inp[None])
         dets[i] = [
-            (s, np.asarray([b[0] * sy, b[1] * sx, b[2] * sy, b[3] * sx]), int(c))
+            (s, np.asarray(unmap(np.asarray(b, np.float64))), int(c))
             for s, b, c in zip(scores, boxes, cids)
         ]
         # gt rows [ymin, ymax, xmin, xmax, cid] -> [y1, x1, y2, x2, cid]
