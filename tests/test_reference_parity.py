@@ -75,6 +75,45 @@ def test_yolov3_decode_box_for_box():
     assert report["ok"], report
 
 
+def test_loss_scalar_parity_vs_running_reference():
+    """Training-loss scalars vs the reference's ACTUAL train graphs (wd=0, head
+    tensors overridden with identical values): SSD300, YOLOv2 and RefineDet losses
+    match to fp tolerance — full assignment machinery (IoU matching, best-anchor
+    dedup, Q15 NMS-on-loss mining, ARM->ODM cascade) as executed, not transcribed."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    import parity_loss
+
+    for fn in (parity_loss.compare_ssd300, parity_loss.compare_yolov2,
+               parity_loss.compare_refinedet):
+        report = fn()
+        assert report["ok"], report
+
+
+def test_yolov2_decode_box_for_box():
+    """YOLOv2 single-head decode (quirk Q3, stride-32 passthrough) vs the running
+    reference: identical head tensor -> identical detections."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    from parity_yolov2 import compare
+
+    report = compare(score_threshold=0.1)
+    assert report["ok"], report
+
+
+def test_lhrcnn_decode_box_for_box():
+    """LH-RCNN COMPOSED two-stage decode vs the running reference: proposal
+    decode -> clip -> NMS(0.7) -> crop_and_resize (normalized by [h, w]) ->
+    RoI dense head -> background drop -> per-class NMS, box-for-box."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    from parity_lhrcnn import compare
+
+    # random-weight RoI softmax over 21 classes is near-uniform (~0.048)
+    report = compare(score_threshold=0.03)
+    assert report["ok"], report
+
+
 def test_centernet_decode_box_for_box():
     """CenterNet peak-NMS top-k decode vs the running reference: exact."""
     pytest.importorskip("tensorflow")

@@ -248,8 +248,10 @@ def rcnn_losses(roi_head_fn, rcnn_feat, sample: RPNSample, img_h: float, img_w: 
     rcnn_feat [B, h, w, C]; sample fields carry a leading batch dim.
     """
     b = rcnn_feat.shape[0]
-    norm = jnp.asarray([img_h - 1.0, img_w - 1.0, img_h - 1.0, img_w - 1.0],
-                       jnp.float32)
+    # clip bound and crop normalizer are [h, w] — NOT [h-1, w-1] — to match the
+    # reference exactly (LH_RCNN.py:146-151: maximum/minimum with [h, w] and
+    # norm_factor = [h, w, h, w])
+    norm = jnp.asarray([img_h, img_w, img_h, img_w], jnp.float32)
     lo = jnp.zeros((4,), jnp.float32)
 
     def crop(feat, boxes):
@@ -294,8 +296,8 @@ def lhrcnn_decode(roi_head_fn, rcnn_feat, pyx, phw, pconf, anc: AnchorSet,
     prop_yx = pyx * anc.hw + anc.yx
     prop_hw = jnp.exp(phw) * anc.hw
     proposal = jnp.concatenate([prop_yx - prop_hw / 2.0, prop_yx + prop_hw / 2.0], -1)
-    norm = jnp.asarray([img_h - 1.0, img_w - 1.0, img_h - 1.0, img_w - 1.0],
-                       jnp.float32)
+    # reference clips and normalizes by [h, w], not [h-1, w-1] (LH_RCNN.py:158-168)
+    norm = jnp.asarray([img_h, img_w, img_h, img_w], jnp.float32)
     proposal = jnp.clip(proposal, jnp.zeros((4,)), norm)
     obj = jax.nn.softmax(pconf, -1)[:, 0]
     sel, sel_valid = nms.greedy_nms(proposal, obj, post_nms_proposal, 0.7)

@@ -161,7 +161,13 @@ def ssd_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
              neg_sel_cap: int = 384, sample_weight=None):
     """Batched SSD loss: mean of per-image losses (SSD300.py:128-148). The
     hard-negative mining NMS is one batched device program over the shared anchor
-    boxes (a Pallas kernel on TPU)."""
+    boxes (a Pallas kernel on TPU).
+
+    ``neg_sel_cap`` is the static bound on the reference's DYNAMIC mining budget
+    ``chosen_num_neg = min(num_neg, 3*num_pos)`` (SSD300.py:426-434): selections
+    beyond the cap are dropped, so for exact loss parity it must be >= 3*num_pos
+    of the densest image. 384 covers typical VOC images (tens of positives);
+    raise via config key 'hard_neg_cap' for crowded scenes."""
     pos_loss, neg_ce, neg, chosen = jax.vmap(
         lambda y, h, c, g: _image_terms(y, h, c, anc, g, num_classes_total)
     )(pyx, phw, pconf, gt)
