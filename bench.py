@@ -76,17 +76,17 @@ def _time_steps(model, images, gt, steps, warmup=2):
     import jax.numpy as jnp
 
     dimages, dgt = model._to_device(images, gt)
-    lr = jnp.float32(0.001)
+    lr, step = jnp.float32(0.001), jnp.int32(0)
     for _ in range(warmup):
         model.params, model.batch_stats, model.opt_state, loss = model._train_step(
-            model.params, model.batch_stats, model.opt_state, dimages, dgt, lr
+            model.params, model.batch_stats, model.opt_state, dimages, dgt, lr, step
         )
     float(loss)  # scalar fetch: jax.block_until_ready does not truly block through
     # the axon tunnel, so sync on a device->host value instead
     t0 = time.perf_counter()
     for _ in range(steps):
         model.params, model.batch_stats, model.opt_state, loss = model._train_step(
-            model.params, model.batch_stats, model.opt_state, dimages, dgt, lr
+            model.params, model.batch_stats, model.opt_state, dimages, dgt, lr, step
         )
     float(loss)  # donation serializes the chain; fetching the last loss syncs all
     dt = time.perf_counter() - t0

@@ -120,7 +120,7 @@ def bench_model(name, spec, train_steps=6, latency_runs=15):
     model = cls(spec["config"], provider)
     dimages, dgt = model._to_device(images, gt)
     lr = jnp.float32(1e-3)
-    extra = ((jnp.int32(0),) if name == "LHRCNN" else ())
+    extra = (jnp.int32(0),)  # the traced global-step arg (device_augment key)
     for _ in range(2):
         out = model._train_step(model.params, model.batch_stats, model.opt_state,
                                 dimages, dgt, lr, *extra)

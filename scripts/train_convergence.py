@@ -178,7 +178,13 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
     train_images, train_gt, _, _ = synthvoc.load(d)
 
     batch = config["batch_size"]
-    feeder = MemmapFeeder(train_images, train_gt, batch, seed=1)
+    # Device-resident feed: the tunneled host->device path (~100 MB/s, no
+    # compute overlap — scripts/probe_transfer.py) costs 2-4x the train step per
+    # batch; residing the dataset in HBM cuts the feed to an on-device gather.
+    from tpudet.data.device_dataset import DeviceDataset
+
+    feeder = DeviceDataset(train_images, train_gt, batch, seed=1,
+                           max_bytes=10 * 10**9)
     provider = {"data_shape": [h, w, 3], "num_train": batch,  # set per chunk below
                 "num_val": 0, "train_generator": feeder, "val_generator": None}
 

@@ -1,0 +1,127 @@
+"""Worker process for tests/test_multiprocess.py — one JAX process of a 2-process
+('dcn', 'data') CPU mesh.
+
+Each process forces 4 virtual CPU devices, joins the distributed runtime over gloo,
+builds the small SSD64 model on the auto-detected 2x4 ('dcn', 'data') mesh, feeds
+its per-host pipeline shard of a fixed global batch (12 rows — NOT divisible by the
+8 devices, so the per-process padding + tiled loss mask path is exercised too),
+runs one epoch, and dumps loss + a parameter fingerprint for the parent test to
+compare against the single-process result. Invoked as:
+
+  python _dcn_worker.py <process_id> <port> <out_dir>
+"""
+
+import json
+import os
+import sys
+
+GLOBAL_BATCH = 12  # 12 rows on 8 devices: forces padding + mask in both layouts
+
+
+def global_batch(batch):
+    """The fixed global (images, gt) batch every layout trains on."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, (batch, 64, 64, 3)).astype(np.float32)
+    gt = -np.ones((batch, 8, 5), np.float32)
+    gt[:, 0] = [32, 32, 20, 24, 1]
+    gt[:, 1] = [16, 48, 12, 12, 3]
+    return images, gt
+
+
+def build_ssd64(batch, local_rows=None):
+    """SSD64 with config batch_size = GLOBAL batch; the iterator yields this
+    process's rows (``local_rows``, the per-host pipeline shard) or the full
+    batch when single-process."""
+    import numpy as np
+
+    from tpudet.models.ssd import SSD300
+
+    class SSD64(SSD300):
+        input_size = 64
+
+    images, gt = global_batch(batch)
+    li, lg = (images, gt) if local_rows is None else (images[local_rows],
+                                                      gt[local_rows])
+
+    def batches():
+        while True:
+            yield li, lg
+
+    config = {
+        "mode": "train", "data_format": "channels_last", "num_classes": 4,
+        "weight_decay": 1e-4, "keep_prob": 1.0, "batch_size": batch,
+        "nms_score_threshold": 0.3, "nms_max_boxes": 5, "nms_iou_threshold": 0.45,
+        "pretraining_weight": None, "hard_neg_cap": 48, "seed": 7,
+    }
+    provider = {"data_shape": [64, 64, 3], "num_train": batch, "num_val": 0,
+                "train_generator": (lambda: None, batches()),
+                "val_generator": None}
+    return SSD64(config, provider)
+
+
+def fingerprint(params):
+    import jax
+    import numpy as np
+
+    return sorted(
+        ("/".join(str(getattr(k, "key", k)) for k in path),
+         float(np.sum(np.asarray(jax.device_get(leaf), np.float64) ** 2)))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params))
+
+
+def main():
+    pid, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tpudet.runtime import mesh as mesh_lib
+
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+    # mesh layout: dcn axis crosses processes (DCN), data axis stays local (ICI)
+    mesh = mesh_lib.data_mesh()
+    assert mesh.axis_names == ("dcn", "data"), mesh.axis_names
+
+    # Establish the 8-device gloo communicator with a tiny all-reduce BEFORE the
+    # big train-step compile: gloo's rendezvous window is ~30s, and on a loaded
+    # host the two processes can finish the multi-minute SSD compile more than
+    # 30s apart. This warmup compiles in seconds (small skew), and XLA caches
+    # the communicator for the real step.
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = mesh_lib.shard_batch(mesh, np.ones(8, np.float32))  # local shard: global=16
+    total = float(jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x))
+    assert total == 16.0, total
+    assert mesh.shape["dcn"] == 2 and mesh.shape["data"] == 4
+    for row, proc in zip(mesh.devices, (0, 1)):
+        assert all(d.process_index == proc for d in row)
+
+    # per-host input shard (pipeline.py shard_index/num_shards contract):
+    # this process sees rows [pid::2] of the global order
+    local_rows = np.arange(GLOBAL_BATCH)[pid::2]
+    model = build_ssd64(GLOBAL_BATCH, local_rows=local_rows)
+    assert model.mesh.axis_names == ("dcn", "data")
+    assert model.device_batch == 16  # 12 padded up to 8 devices * 2
+
+    loss = model.train_one_epoch(0.01)
+    with open(os.path.join(out, f"proc{pid}.json"), "w") as f:
+        json.dump({"loss": float(loss),
+                   "local_rows": local_rows.tolist(),
+                   "fingerprint": fingerprint(model.params)[:8]}, f)
+    print(f"WORKER{pid} OK loss={loss}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

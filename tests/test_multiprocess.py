@@ -1,0 +1,88 @@
+"""Multi-host / multi-slice ('dcn', 'data') mesh tests (SURVEY.md §2.5; VERDICT r1
+item 6): a REAL 2-process jax.distributed run on CPU (gloo collectives) must read
+disjoint per-host input shards and produce the same loss and parameters as the
+single-process run on the same global batch.
+
+The two worker processes are spawned as subprocesses (tests/_dcn_worker.py) because
+jax.distributed can only be initialized once per process; the parent computes the
+single-process result on its own 8-device CPU mesh.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpudet.runtime import mesh as mesh_lib
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from _dcn_worker import GLOBAL_BATCH, build_ssd64, fingerprint  # noqa: E402
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_dcn_mesh_shape_single_process():
+    # explicit dcn_size on a single process: 8 devices -> 2x4 ('dcn', 'data')
+    mesh = mesh_lib.data_mesh(dcn_size=2)
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.shape["dcn"] == 2 and mesh.shape["data"] == 4
+    assert mesh_lib.data_parallel_size(mesh) == 8
+    assert mesh_lib.batch_axes(mesh) == ("dcn", "data")
+    # 1-D default unchanged
+    m1 = mesh_lib.data_mesh()
+    assert m1.axis_names == ("data",)
+    assert mesh_lib.batch_axes(m1) == ("data",)
+
+
+def test_dcn_size_must_divide():
+    with pytest.raises(ValueError):
+        mesh_lib.data_mesh(dcn_size=3)
+
+
+@pytest.mark.slow
+def test_two_process_dcn_matches_single_process(tmp_path):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(HERE, "_dcn_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = [json.load(open(tmp_path / f"proc{pid}.json")) for pid in (0, 1)]
+
+    # 1) per-host input shards are disjoint and complete
+    rows0, rows1 = (set(r["local_rows"]) for r in results)
+    assert rows0.isdisjoint(rows1)
+    assert rows0 | rows1 == set(range(GLOBAL_BATCH))
+
+    # 2) both processes agree (replicated state)
+    assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # 3) the 2-process ('dcn', 'data') step == the single-process step on the
+    #    same global batch (this parent process, 8-device 1-D mesh)
+    model = build_ssd64(GLOBAL_BATCH)
+    loss = model.train_one_epoch(0.01)
+    assert results[0]["loss"] == pytest.approx(loss, rel=2e-4)
+
+    fp = dict(fingerprint(model.params)[:8])
+    for name, val in results[0]["fingerprint"]:
+        assert val == pytest.approx(fp[name], rel=5e-4), name

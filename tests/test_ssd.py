@@ -191,3 +191,52 @@ def test_ssd_model_end_to_end(tmp_path):
     r2 = model2.test_one_image(np.zeros((1, 64, 64, 3), np.float32))
     r1 = model.test_one_image(np.zeros((1, 64, 64, 3), np.float32))
     np.testing.assert_allclose(r1[0], r2[0], rtol=1e-5)
+
+
+def test_ssd_model_channels_first_matches_channels_last():
+    """data_format='channels_first' end-to-end at the MODEL level (SSD300.py:53-60):
+    same seed + same data (NCHW-transposed) must give the identical train loss and
+    identical detections as the channels_last run. The reference threads the format
+    through every layer; tpudet transposes at the model edge (models/base.py) and
+    computes NHWC (the TPU-native layout) — this test pins that contract."""
+    from tpudet.models.ssd import SSD300
+
+    class SSD64(SSD300):
+        input_size = 64
+
+    def build(data_format):
+        rng = np.random.default_rng(3)
+        images = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        gt = -np.ones((2, 8, 5), np.float32)
+        gt[:, 0] = [32, 32, 20, 24, 1]
+        feed = images.transpose(0, 3, 1, 2) if data_format == "channels_first" \
+            else images
+
+        def batches():
+            while True:
+                yield feed, gt
+
+        config = {
+            "mode": "train", "data_format": data_format, "num_classes": 4,
+            "weight_decay": 1e-4, "keep_prob": 1.0, "batch_size": 2,
+            "nms_score_threshold": 0.3, "nms_max_boxes": 5,
+            "nms_iou_threshold": 0.45, "pretraining_weight": None,
+            "hard_neg_cap": 64, "nms_pre_topk": 32, "seed": 11,
+        }
+        provider = {"data_shape": [64, 64, 3], "num_train": 4, "num_val": 0,
+                    "train_generator": (lambda: None, batches()),
+                    "val_generator": None}
+        return SSD64(config, provider), images
+
+    m_last, images = build("channels_last")
+    m_first, _ = build("channels_first")
+    l_last = m_last.train_one_epoch(0.01)
+    l_first = m_first.train_one_epoch(0.01)
+    assert np.isfinite(l_first)
+    np.testing.assert_allclose(l_first, l_last, rtol=1e-6)
+
+    test_img = images[:1]
+    r_last = m_last.test_one_image(test_img)
+    r_first = m_first.test_one_image(test_img.transpose(0, 3, 1, 2))
+    for a, b in zip(r_last, r_first):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -137,9 +137,16 @@ class DetectorBase:
         # count, the batch is padded with repeated samples up to ``device_batch``
         # and the padding rows are masked out of the loss (weighted mean), instead
         # of idling devices (e.g. the reference YOLOv3 bs12 / CenterNet bs15
-        # configs on a v5e-8).
-        self.mesh = mesh_lib.data_mesh()
-        n = self.mesh.shape[mesh_lib.DATA_AXIS]
+        # configs on a v5e-8). Multi-process (multi-host / multi-slice) runs get a
+        # ('dcn', 'data') mesh; ``batch_size`` stays GLOBAL and each process feeds
+        # its per-host pipeline shard (1/process_count of every batch).
+        self.mesh = mesh_lib.data_mesh(dcn_size=self.config.get("dcn_size"))
+        n = mesh_lib.data_parallel_size(self.mesh)
+        self.process_count = jax.process_count()
+        if self.mode == "train" and self.batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size={self.batch_size} must divide over "
+                f"{self.process_count} processes")
         self.device_batch = (
             -(-self.batch_size // n) * n if self.mode == "train" else self.batch_size
         )
@@ -149,11 +156,17 @@ class DetectorBase:
             self.opt_state = mesh_lib.replicate_tree(self.mesh, self.opt_state)
 
     def _sample_weight(self):
-        """[device_batch] mask of real rows, or None when the batch needs no pad."""
+        """[device_batch] mask of real rows, or None when the batch needs no pad.
+
+        Padding happens per process (each host pads its own pipeline shard), so
+        the global mask is the per-process mask tiled: rows
+        [p*local_db, p*local_db + local_bs) are real for every process p."""
         if self.mode != "train" or self.device_batch == self.batch_size:
             return None
+        local_db = self.device_batch // self.process_count
+        local_bs = self.batch_size // self.process_count
         return jnp.asarray(
-            np.arange(self.device_batch) < self.batch_size, jnp.float32)
+            np.tile(np.arange(local_db) < local_bs, self.process_count), jnp.float32)
 
     def _device_augment(self, images, gt, step):
         """Optional augmentation compiled INTO the train step (config key
@@ -250,15 +263,28 @@ class DetectorBase:
         return float(np.mean(jax.device_get(losses)))
 
     def _to_device(self, images, gt):
+        if isinstance(images, jax.Array):
+            # device-resident feed (data.device_dataset.DeviceDataset): the batch
+            # was assembled ON device; nothing to transfer. Shapes must already
+            # match the local slice (no host-side padding possible here).
+            local_db = self.device_batch // self.process_count
+            if self.mode == "train" and images.shape[0] != local_db:
+                raise ValueError(
+                    f"device-resident batch is {images.shape[0]} rows; the mesh "
+                    f"needs {local_db} — pad in the feeder")
+            return images, gt
         images = np.ascontiguousarray(images, self.input_dtype)
         if self.data_format == "channels_first":
             images = images.transpose(0, 2, 3, 1)
         gt = np.ascontiguousarray(gt, np.float32)
-        if self.mode == "train" and images.shape[0] != self.device_batch:
+        # Multi-process: this host's pipeline yields its LOCAL shard
+        # (batch_size / process_count rows); pad to the local slice of the mesh.
+        local_db = self.device_batch // self.process_count
+        if self.mode == "train" and images.shape[0] != local_db:
             # pad the batch up to the mesh with repeated samples; the loss masks
             # them out via _sample_weight (duplicates, not zeros, so BatchNorm
             # batch statistics stay on-distribution)
-            idx = np.arange(self.device_batch) % images.shape[0]
+            idx = np.arange(local_db) % images.shape[0]
             images, gt = images[idx], gt[idx]
         return mesh_lib.shard_batch(self.mesh, images, gt)
 
