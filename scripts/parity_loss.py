@@ -190,6 +190,58 @@ def compare_yolov2():
             "ok": abs(ours - float(ref_loss)) < 1e-3 * max(1.0, abs(float(ref_loss)))}
 
 
+# ------------------------------------------------------------------ YOLOv3
+def compare_yolov3():
+    _force_cpu_jax()
+    import tensorflow.compat.v1 as tf1
+
+    tf1.disable_v2_behavior()
+    _shims(tf1)
+    mod = _load_module("/root/reference/YOLOv3.py")
+    tf1.reset_default_graph()
+    tf1.set_random_seed(99)
+    rng = np.random.default_rng(24)
+    shape = (224, 224, 3)
+    gt = _gt_batch(rng, shape[:2])
+    priors = [[[10.0, 13.0], [16.0, 30.0], [33.0, 23.0]],
+              [[30.0, 61.0], [62.0, 45.0], [59.0, 119.0]],
+              [[116.0, 90.0], [156.0, 198.0], [373.0, 326.0]]]
+    config = {"mode": "train", "data_shape": list(shape), "num_classes": 20,
+              "weight_decay": 0.0, "keep_prob": 1.0,
+              "data_format": "channels_last", "batch_size": BATCH,
+              "coord_scale": 1.0, "noobj_scale": 1.0, "obj_scale": 5.0,
+              "class_scale": 1.0, "num_priors": 3,
+              "nms_score_threshold": 0.5, "nms_max_boxes": 10,
+              "nms_iou_threshold": 0.5, "priors": priors}
+    model = mod.YOLOv3(config, _provider(tf1, shape, gt))
+    g = tf1.get_default_graph()
+    five_d = [op.outputs[0] for op in g.get_operations()
+              if op.type == "Reshape" and op.name.startswith("head/Reshape")
+              and op.outputs[0].shape.ndims == 5]
+    pred_ts = five_d[:3]  # pred1 (stride 32), pred2 (16), pred3 (8)
+    strides = (32, 16, 8)
+    preds = [rng.normal(0, 0.5, (BATCH, shape[0] // s, shape[1] // s, 3, 25))
+             .astype(np.float32) for s in strides]
+    ref_loss = model.sess.run(model.loss, feed_dict={
+        **dict(zip(pred_ts, preds)),
+        model.ground_truth: gt, model.is_training: True})
+    model.sess.close()
+
+    import jax.numpy as jnp
+
+    from tpudet.heads import yolo as yolo_head
+
+    priors_per_head = [[[ph / s for ph in p] for p in lvl]
+                       for lvl, s in zip(priors, [8.0, 16.0, 32.0])]  # Q4
+    ours = float(yolo_head.yolov3_loss(
+        tuple(jnp.asarray(p.reshape(BATCH, p.shape[1], p.shape[2], -1))
+              for p in preds),
+        priors_per_head, jnp.asarray(gt), 20, (1.0, 1.0, 5.0, 1.0)))
+    return {"model": "YOLOv3", "ref_loss": float(ref_loss), "our_loss": ours,
+            "rel_diff": abs(ours - float(ref_loss)) / max(abs(float(ref_loss)), 1e-9),
+            "ok": abs(ours - float(ref_loss)) < 1e-3 * max(1.0, abs(float(ref_loss)))}
+
+
 # ------------------------------------------------------------------ RefineDet
 def compare_refinedet():
     _force_cpu_jax()
@@ -246,7 +298,7 @@ def compare_refinedet():
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     fns = {"ssd300": compare_ssd300, "yolov2": compare_yolov2,
-           "refinedet": compare_refinedet}
+           "yolov3": compare_yolov3, "refinedet": compare_refinedet}
     for name, fn in fns.items():
         if which in (name, "all"):
             print(fn())

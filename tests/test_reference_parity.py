@@ -77,15 +77,16 @@ def test_yolov3_decode_box_for_box():
 
 def test_loss_scalar_parity_vs_running_reference():
     """Training-loss scalars vs the reference's ACTUAL train graphs (wd=0, head
-    tensors overridden with identical values): SSD300, YOLOv2 and RefineDet losses
-    match to fp tolerance — full assignment machinery (IoU matching, best-anchor
-    dedup, Q15 NMS-on-loss mining, ARM->ODM cascade) as executed, not transcribed."""
+    tensors overridden with identical values): SSD300, YOLOv2, YOLOv3 and RefineDet
+    losses match to fp tolerance — full assignment machinery (IoU matching,
+    best-anchor dedup, Q15 NMS-on-loss mining, 3-scale routing + noobj pseudo-box
+    masks, ARM->ODM cascade) as executed, not transcribed."""
     pytest.importorskip("tensorflow")
     sys.path.insert(0, "scripts")
     import parity_loss
 
     for fn in (parity_loss.compare_ssd300, parity_loss.compare_yolov2,
-               parity_loss.compare_refinedet):
+               parity_loss.compare_yolov3, parity_loss.compare_refinedet):
         report = fn()
         assert report["ok"], report
 

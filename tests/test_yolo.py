@@ -121,6 +121,88 @@ class TestYOLODecode:
                                    [0, 32, 64, 96], atol=1e-3)
 
 
+class TestConsistentGeometry:
+    """Opt-in ``consistent_geometry`` extension: decode inverts the training
+    encoding exactly (multiplicative hw = prior*e^p, true strides 32/16/8, large
+    priors on the coarse head), so a head tensor encoding a gt box decodes back to
+    that gt box on EVERY head — which quirks Q3/Q4 prevent by design."""
+
+    def test_v3_roundtrip_every_head(self):
+        C = 3
+        img = 128
+        gt_box = (40.0, 56.0, 36.0, 48.0)  # yc, xc, h, w in pixels
+        priors_px = [[[10.0, 13.0], [16.0, 30.0], [33.0, 23.0]],
+                     [[30.0, 61.0], [62.0, 45.0], [59.0, 119.0]],
+                     [[116.0, 90.0], [156.0, 198.0], [373.0, 326.0]]]
+        head_strides = (32.0, 16.0, 8.0)
+        # consistent prior layout: reversed, each / its own head stride
+        priors_per_head = [
+            [[p[0] / s, p[1] / s] for p in lvl]
+            for lvl, s in zip(reversed(priors_px), head_strides)
+        ]
+        for h, stride in enumerate(head_strides):
+            preds = []
+            for j, s in enumerate(head_strides):
+                fh = fw = int(img // s)
+                pred = np.full((fh, fw, 3 * (C + 5)), -12.0, np.float32)
+                if j == h:
+                    yc, xc, bh, bw = (v / stride for v in gt_box)
+                    cy, cx = int(yc), int(xc)
+                    view = pred.reshape(fh, fw, 3, C + 5)
+                    ty, tx = yc - cy, xc - cx
+                    logit = lambda p: float(np.log(p / (1 - p)))
+                    view[cy, cx, 0, :C] = [-12, 12, -12]
+                    view[cy, cx, 0, C:C + 2] = [logit(ty), logit(tx)]
+                    view[cy, cx, 0, C + 2] = np.log(bh / priors_per_head[j][0][0])
+                    view[cy, cx, 0, C + 3] = np.log(bw / priors_per_head[j][0][1])
+                    view[cy, cx, 0, C + 4] = 12.0
+                preds.append(jnp.asarray(pred))
+            scores, boxes, cid, valid, _ = yolo_head.yolov3_decode(
+                preds, priors_per_head, C, 0.5, 0.5, 4, pre_topk=8,
+                consistent=True)
+            valid = np.asarray(valid)
+            assert valid.sum() == 1, f"head {h}"
+            assert np.asarray(cid)[valid][0] == 1
+            yc, xc, bh, bw = gt_box
+            np.testing.assert_allclose(
+                np.asarray(boxes)[valid][0],
+                [yc - bh / 2, xc - bw / 2, yc + bh / 2, xc + bw / 2],
+                atol=1e-2, err_msg=f"head {h}")
+
+    def test_v3_model_accepts_flag(self):
+        from tpudet.models.yolo import YOLOv3
+
+        rng = np.random.default_rng(5)
+        cfg = {
+            "mode": "train", "data_format": "channels_last", "num_classes": 3,
+            "weight_decay": 1e-4, "keep_prob": 1.0, "batch_size": 2,
+            "nms_score_threshold": 0.3, "nms_max_boxes": 4,
+            "nms_iou_threshold": 0.45, "coord_scale": 1.0, "noobj_scale": 1.0,
+            "obj_scale": 1.0, "class_scale": 1.0, "num_priors": 3,
+            "data_shape": [64, 64, 3], "consistent_geometry": True,
+            "priors": [[[10.0, 13.0], [16.0, 30.0], [33.0, 23.0]],
+                       [[30.0, 61.0], [62.0, 45.0], [59.0, 119.0]],
+                       [[116.0, 90.0], [156.0, 198.0], [373.0, 326.0]]],
+            "nms_pre_topk": 16,
+        }
+
+        def batches():
+            while True:
+                images = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+                gt = -np.ones((2, 6, 5), np.float32)
+                gt[:, 0] = [32, 32, 20, 24, 1]
+                yield images, gt
+
+        provider = {"data_shape": [64, 64, 3], "num_train": 4, "num_val": 0,
+                    "train_generator": (lambda: None, batches()),
+                    "val_generator": None}
+        model = YOLOv3(cfg, provider)
+        # large priors land on head1 (stride 32) under the consistent layout
+        assert model.priors_per_head[0][0][0] == 116.0 / 32.0
+        loss = model.train_one_epoch(0.001)
+        assert np.isfinite(loss)
+
+
 def test_yolov2_model_end_to_end():
     from tpudet.models.yolo import YOLOv2
 

@@ -99,9 +99,12 @@ def _responsible_terms(pclass, pyx, phw, pobj, centers, prior_hw, gn_yx, gn_hw,
             jnp.sum(obj_loss), iou_max, cy, cx)
 
 
-def _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, valid, cy, cx, iou_thresh):
+def _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, valid, cy, cx, iou_thresh,
+                swapped_corners=True):
     """No-object loss over cells without gt, with the reference's swapped-corner
-    pseudo boxes (YOLOv2.py:146-171)."""
+    pseudo boxes (YOLOv2.py:146-171). ``swapped_corners=False`` (the opt-in
+    ``consistent_geometry`` extension) uses the real anchor boxes instead, so
+    high-IoU exemption from noobj suppression applies only where it should."""
     fh, fw, k, _ = prior_hw.shape
     has = jnp.zeros((fh, fw), jnp.int32).at[cy, cx].add(valid.astype(jnp.int32))
     nogn = (has == 0).reshape(-1)  # [S]
@@ -109,8 +112,11 @@ def _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, valid, cy, cx, iou_thresh
     hw = prior_hw.reshape(-1, k, 2)
     c1 = yx - hw / 2.0                       # named 'yx_nobest' in the reference
     c2 = yx + hw / 2.0                       # named 'hw_nobest'
-    g_y1x1 = c1 - c2 / 2.0                   # swapped-corner pseudo boxes
-    g_y2x2 = c1 + c2 / 2.0
+    if swapped_corners:
+        g_y1x1 = c1 - c2 / 2.0               # swapped-corner pseudo boxes
+        g_y2x2 = c1 + c2 / 2.0
+    else:
+        g_y1x1, g_y2x2 = c1, c2              # real anchor boxes
     a_area = jnp.prod(g_y2x2 - g_y1x1, -1)   # [S,K]
     gt_y1x1 = (gn_yx - gn_hw / 2.0)
     gt_y2x2 = (gn_yx + gn_hw / 2.0)
@@ -127,7 +133,8 @@ def _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, valid, cy, cx, iou_thresh
 
 
 # --------------------------------------------------------------------- YOLOv2
-def yolov2_image_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scales):
+def yolov2_image_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scales,
+                      consistent=False):
     """scales = (coord, class, obj, noobj) (YOLOv2.py:172)."""
     num_priors = len(priors_hw)
     pclass, pyx, phw, pobj = (x[0] for x in split_pred(pred[None], num_priors,
@@ -140,31 +147,42 @@ def yolov2_image_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scale
     yx_l, hw_l, cls_l, obj_l, _, cy, cx = _responsible_terms(
         pclass, pyx, phw, pobj, centers, prior_hw, gn_yx, gn_hw, g.label, g.valid,
         num_classes)
-    noobj_l = _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, g.valid, cy, cx, 0.6)
+    noobj_l = _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, g.valid, cy, cx,
+                          0.6, swapped_corners=not consistent)
     coord_s, class_s, obj_s, noobj_s = scales
     return (coord_s * (yx_l + hw_l) + class_s * cls_l + obj_s * obj_l
             + noobj_s * noobj_l)
 
 
 def yolov2_loss(pred, priors_hw, gt, num_classes, downsampling_rate, scales,
-                sample_weight=None):
+                sample_weight=None, consistent=False):
     per_image = jax.vmap(
         lambda p, g: yolov2_image_loss(p, priors_hw, g, num_classes,
-                                       downsampling_rate, scales)
+                                       downsampling_rate, scales, consistent)
     )(pred, gt)
     return loss_ops.weighted_mean(per_image, sample_weight)
 
 
 def yolov2_decode(pred, priors_hw, num_classes, downsampling_rate,
-                  score_threshold, iou_threshold, max_boxes, pre_topk=200):
-    """Single-image decode (YOLOv2.py:182-210). Q3: hw = prior + e^p."""
+                  score_threshold, iou_threshold, max_boxes, pre_topk=200,
+                  consistent=False):
+    """Single-image decode (YOLOv2.py:182-210). Q3: hw = prior + e^p; the opt-in
+    ``consistent_geometry`` extension decodes hw = prior * e^p, matching the
+    training target log(g/prior)."""
     num_priors = len(priors_hw)
     pclass, pyx, phw, pobj = (x[0] for x in split_pred(pred[None], num_priors,
                                                        num_classes))
     fh, fw = pclass.shape[0], pclass.shape[1]
     centers, prior_hw = grid_prior_arrays(fh, fw, priors_hw)
-    byx = centers.reshape(-1, 2) + jax.nn.sigmoid(pyx.reshape(-1, 2))
-    bhw = prior_hw.reshape(-1, 2) + jnp.exp(phw.reshape(-1, 2))
+    # the reference decodes center = cell + 0.5 + sigmoid(p) while training
+    # teaches sigmoid(p) = frac(gn) — a half-cell decode bias; consistent mode
+    # drops the +0.5 so decode inverts the training encoding
+    cyx = centers.reshape(-1, 2) - (0.5 if consistent else 0.0)
+    byx = cyx + jax.nn.sigmoid(pyx.reshape(-1, 2))
+    if consistent:
+        bhw = prior_hw.reshape(-1, 2) * jnp.exp(phw.reshape(-1, 2))
+    else:
+        bhw = prior_hw.reshape(-1, 2) + jnp.exp(phw.reshape(-1, 2))
     boxes = jnp.concatenate([byx - bhw / 2.0, byx + bhw / 2.0], -1) * downsampling_rate
     conf = (jax.nn.sigmoid(pclass.reshape(-1, num_classes))
             * jax.nn.sigmoid(pobj.reshape(-1, 1)))
@@ -177,7 +195,8 @@ def yolov2_decode(pred, priors_hw, num_classes, downsampling_rate,
 
 
 # --------------------------------------------------------------------- YOLOv3
-def yolov3_image_loss(preds, priors_per_head, gt, num_classes, scales):
+def yolov3_image_loss(preds, priors_per_head, gt, num_classes, scales,
+                      consistent=False):
     """3-scale loss (YOLOv3.py:115-310). ``preds``: [(H,W,K*(C+5))] per head;
     head h uses gn = gt / strides_for_cells[h] with strides_for_cells = (32, 16, 8);
     priors_per_head are already divided per quirk Q4."""
@@ -221,7 +240,7 @@ def yolov3_image_loss(preds, priors_per_head, gt, num_classes, scales):
         # nogn mask uses ALL gts of the scale, not just the routed ones (YOLOv3.py:126)
         all_cy, all_cx = cells[h]
         noobj += _noobj_term(pobj, centers, prior_hw, gn_yx, gn_hw, g.valid,
-                             all_cy, all_cx, 0.5)
+                             all_cy, all_cx, 0.5, swapped_corners=not consistent)
     coord_s, class_s, obj_s, noobj_s = scales
     pos = (coord_s * coord + class_s * class_l + obj_s * obj_l) / n
     neg = noobj_s * noobj / n
@@ -229,18 +248,20 @@ def yolov3_image_loss(preds, priors_per_head, gt, num_classes, scales):
 
 
 def yolov3_loss(preds, priors_per_head, gt, num_classes, scales,
-                sample_weight=None):
+                sample_weight=None, consistent=False):
     per_image = jax.vmap(
         lambda p1, p2, p3, g: yolov3_image_loss((p1, p2, p3), priors_per_head, g,
-                                                num_classes, scales)
+                                                num_classes, scales, consistent)
     )(preds[0], preds[1], preds[2], gt)
     return 0.5 * loss_ops.weighted_mean(per_image, sample_weight)  # YOLOv3.py:313
 
 
 def yolov3_decode(preds, priors_per_head, num_classes, score_threshold,
-                  iou_threshold, max_boxes, pre_topk=200):
-    """Q4 pixel scales: head1 x32, head2 x32, head3 x16 (YOLOv3.py:346-348)."""
-    pixel_scales = (32.0, 32.0, 16.0)
+                  iou_threshold, max_boxes, pre_topk=200, consistent=False):
+    """Q4 pixel scales: head1 x32, head2 x32, head3 x16 (YOLOv3.py:346-348).
+    ``consistent_geometry`` uses the true strides (32, 16, 8) and multiplicative
+    hw so decode inverts the training encoding on every head."""
+    pixel_scales = (32.0, 16.0, 8.0) if consistent else (32.0, 32.0, 16.0)
     all_boxes, all_conf = [], []
     for pred, priors_hw, px in zip(preds, priors_per_head, pixel_scales):
         num_priors = len(priors_hw)
@@ -248,8 +269,12 @@ def yolov3_decode(preds, priors_per_head, num_classes, score_threshold,
                                                            num_classes))
         fh, fw = pclass.shape[0], pclass.shape[1]
         centers, prior_hw = grid_prior_arrays(fh, fw, priors_hw)
-        byx = centers.reshape(-1, 2) + jax.nn.sigmoid(pyx.reshape(-1, 2))
-        bhw = prior_hw.reshape(-1, 2) + jnp.exp(phw.reshape(-1, 2))
+        cyx = centers.reshape(-1, 2) - (0.5 if consistent else 0.0)
+        byx = cyx + jax.nn.sigmoid(pyx.reshape(-1, 2))
+        if consistent:
+            bhw = prior_hw.reshape(-1, 2) * jnp.exp(phw.reshape(-1, 2))
+        else:
+            bhw = prior_hw.reshape(-1, 2) + jnp.exp(phw.reshape(-1, 2))
         all_boxes.append(
             jnp.concatenate([byx - bhw / 2.0, byx + bhw / 2.0], -1) * px)
         all_conf.append(jax.nn.sigmoid(pclass.reshape(-1, num_classes))

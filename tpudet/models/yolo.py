@@ -22,6 +22,11 @@ class _YOLOBase(DetectorBase):
         assert len(config["data_shape"]) == 3
         self.data_shape_hw = tuple(config["data_shape"][:2]) \
             if config["data_format"] == "channels_last" else tuple(config["data_shape"][1:])
+        # opt-in extension (documented, default off = reference-faithful): decode
+        # inverts the training encoding (multiplicative hw, true strides) and the
+        # noobj mask uses real anchor boxes instead of the swapped-corner pseudo
+        # boxes (quirks Q3/Q4 + YOLOv2.py:148-151)
+        self.consistent = bool(config.get("consistent_geometry", False))
         self.scales = (float(config.get("coord_scale", 1.0)),
                        float(config.get("class_scale", 1.0)),
                        float(config.get("obj_scale", 1.0)),
@@ -63,13 +68,14 @@ class YOLOv2(_YOLOBase):
     def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         return yolo_head.yolov2_loss(outputs, self.priors_hw, gt, self.raw_classes,
                                      self.downsampling_rate, self.scales,
-                                     sample_weight=sample_weight)
+                                     sample_weight=sample_weight,
+                                     consistent=self.consistent)
 
     def _decode_outputs(self, outputs, pre_topk):
         return yolo_head.yolov2_decode(
             outputs[0], self.priors_hw, self.raw_classes, self.downsampling_rate,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=pre_topk)
+            pre_topk=pre_topk, consistent=self.consistent)
 
 
 class YOLOv3(_YOLOBase):
@@ -78,10 +84,17 @@ class YOLOv3(_YOLOBase):
     def _build(self):
         cfg = self.config
         self.raw_classes = cfg["num_classes"]
-        strides = (8.0, 16.0, 32.0)  # divisor list (quirk Q4)
+        if self.consistent:
+            # consistent_geometry: large priors on the stride-32 head, each divided
+            # by its own head's stride, so decode inverts training on every head
+            head_strides = (32.0, 16.0, 8.0)
+            priors = list(reversed(cfg["priors"]))
+        else:
+            head_strides = (8.0, 16.0, 32.0)  # divisor list (quirk Q4)
+            priors = cfg["priors"]
         self.priors_per_head = [
             [[p[0] / s, p[1] / s] for p in head_priors]
-            for head_priors, s in zip(cfg["priors"], strides)
+            for head_priors, s in zip(priors, head_strides)
         ]
         num_priors = int(cfg.get("num_priors", len(cfg["priors"][0])))
         self.net = yolo_head.YOLOv3Net(
@@ -91,10 +104,11 @@ class YOLOv3(_YOLOBase):
     def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         return yolo_head.yolov3_loss(outputs, self.priors_per_head, gt,
                                      self.raw_classes, self.scales,
-                                     sample_weight=sample_weight)
+                                     sample_weight=sample_weight,
+                                     consistent=self.consistent)
 
     def _decode_outputs(self, outputs, pre_topk):
         return yolo_head.yolov3_decode(
             [o[0] for o in outputs], self.priors_per_head, self.raw_classes,
             self.nms_score_threshold, self.nms_iou_threshold, self.nms_max_boxes,
-            pre_topk=pre_topk)
+            pre_topk=pre_topk, consistent=self.consistent)
