@@ -123,6 +123,34 @@ def model_specs():
                                         [373.0, 326.0]]],
                             "data_shape": [448, 448, 3]}),
                    5e-4, 7000, drop),
+        # opt-in consistent_geometry (decode inverts the training encoding —
+        # quirk-faithful YOLOv3 decode cannot, by the reference's own Q3/Q4 design;
+        # see tpudet/heads/yolo.py): the mAP-at-convergence configuration
+        "YOLOv3-consistent": ("tpudet.models.yolo.YOLOv3", (448, 448),
+                              _common({"batch_size": 12, "weight_decay": 5e-4,
+                                       "coord_scale": 1, "noobj_scale": 1,
+                                       "obj_scale": 5.0, "class_scale": 1.0,
+                                       "num_priors": 3,
+                                       "consistent_geometry": True,
+                                       "priors": [[[10.0, 13.0], [16, 30.0],
+                                                   [33.0, 23.0]],
+                                                  [[30.0, 61.0], [62.0, 45.0],
+                                                   [59.0, 119.0]],
+                                                  [[116.0, 90.0], [156.0, 198.0],
+                                                   [373.0, 326.0]]],
+                                       "data_shape": [448, 448, 3]}),
+                              5e-4, 7000, drop),
+        "YOLOv2-consistent": ("tpudet.models.yolo.YOLOv2", (480, 480),
+                              _common({"batch_size": 32, "coord_scale": 1,
+                                       "noobj_scale": 1, "obj_scale": 5.0,
+                                       "class_scale": 1.0,
+                                       "rescore_confidence": False,
+                                       "consistent_geometry": True,
+                                       "priors": [[1.08, 1.19], [3.42, 4.41],
+                                                  [6.63, 11.38], [9.42, 5.11],
+                                                  [16.62, 10.52]],
+                                       "data_shape": [480, 480, 3]}),
+                              5e-4, 5000, drop),
         "RetinaNet": ("tpudet.models.retinanet.RetinaNet", (500, 500),
                       _common({"batch_size": 32, "is_bottleneck": True,
                                "residual_block_list": [3, 4, 6, 3],
@@ -130,14 +158,23 @@ def model_specs():
                                "gamma": 2.0, "alpha": 0.25,
                                "data_shape": [500, 500, 3]}),
                       1e-3, 4500, drop),
+        # host_feed: interleaving the standalone DeviceDataset gather dispatch with
+        # the RefineDet-family step crashes the tunneled TPU worker (reproduced
+        # with XLA-only NMS — scripts/bisect_refinedet.py; host-feed runs clean)
         "RefineDet320": ("tpudet.models.refinedet.RefineDet320", (320, 320),
-                         _common({"batch_size": 32, "input_size": 320}),
+                         _common({"batch_size": 32, "input_size": 320,
+                                  "host_feed": True}),
                          5e-4, 5000, drop),
         "PFPNetR": ("tpudet.models.refinedet.PFPNetR", (320, 320),
-                    _common({"batch_size": 32, "input_size": 320}),
+                    _common({"batch_size": 32, "input_size": 320,
+                             "host_feed": True}),
                     5e-4, 5000, drop),
+        # host_feed: a 700x1100/800x1200 uint8 dataset is ~9-12 GB; the
+        # device-resident gather path needs a layout copy of the whole dataset at
+        # scan compile time (observed 18.45G > 15.75G HBM), so feed from host.
         "LHRCNN": ("tpudet.models.lhrcnn.LHRCNN", (700, 1100),
                    _common({"batch_size": 8, "data_shape": [700, 1100, 3],
+                            "host_feed": True,
                             "is_pretraining": False,
                             "rpn_first_step": 2500, "rcnn_first_step": 4000,
                             "rpn_second_step": 5000, "post_nms_proposal": 500}),
@@ -148,7 +185,8 @@ def model_specs():
                                "top_k_results_output": 40}),
                       1e-3, 5000, drop),
         "FCOS": ("tpudet.models.fcos.FCOS", (800, 1200),
-                 _common({"batch_size": 8, "data_shape": [800, 1200, 3]}),
+                 _common({"batch_size": 8, "data_shape": [800, 1200, 3],
+                          "host_feed": True}),
                  1e-3, 5000, drop),
     }
 
@@ -178,13 +216,18 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
     train_images, train_gt, _, _ = synthvoc.load(d)
 
     batch = config["batch_size"]
-    # Device-resident feed: the tunneled host->device path (~100 MB/s, no
-    # compute overlap — scripts/probe_transfer.py) costs 2-4x the train step per
-    # batch; residing the dataset in HBM cuts the feed to an on-device gather.
-    from tpudet.data.device_dataset import DeviceDataset
+    if config.pop("host_feed", False):
+        feeder = MemmapFeeder(train_images, train_gt, batch, seed=1)
+    else:
+        # Device-resident feed: the tunneled host->device path (~100 MB/s, no
+        # compute overlap — scripts/probe_transfer.py) costs 2-4x the train step
+        # per batch; residing the dataset in HBM cuts the feed to an on-device
+        # gather (and the whole epoch chunk runs as ONE lax.scan dispatch —
+        # DetectorBase._train_scan).
+        from tpudet.data.device_dataset import DeviceDataset
 
-    feeder = DeviceDataset(train_images, train_gt, batch, seed=1,
-                           max_bytes=10 * 10**9)
+        feeder = DeviceDataset(train_images, train_gt, batch, seed=1,
+                               max_bytes=10 * 10**9)
     provider = {"data_shape": [h, w, 3], "num_train": batch,  # set per chunk below
                 "num_val": 0, "train_generator": feeder, "val_generator": None}
 

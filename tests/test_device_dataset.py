@@ -1,0 +1,88 @@
+"""DeviceDataset feed + the scanned (one-dispatch) epoch path.
+
+The scan path exists because on a tunneled TPU every dispatch costs a host
+round-trip; train_one_epoch folds a whole device-resident epoch into one
+``lax.scan`` dispatch (models/base.py:_train_scan). These tests pin (a) the
+shuffle-stream equivalence of the two feed APIs and (b) numerical equivalence of
+the scanned epoch vs the per-step epoch from identical initial state.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet.data.device_dataset import DeviceDataset
+
+
+def _tiny_data(n=12, hw=64, pad=6, seed=3):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (n, hw, hw, 3)).astype(np.uint8)
+    gt = -np.ones((n, pad, 5), np.float32)
+    gt[:, 0] = [32, 32, 20, 24, 1]
+    gt[:, 1] = [16, 48, 10, 12, 0]
+    return images, gt
+
+
+class TestDeviceDataset:
+    def test_next_indices_matches_next_stream(self):
+        images, gt = _tiny_data()
+        a = DeviceDataset(images, gt, batch=4, seed=7)
+        b = DeviceDataset(images, gt, batch=4, seed=7)
+        got_a = [a.next_indices(1)[0] for _ in range(9)]
+        got_b = list(b.next_indices(9))
+        np.testing.assert_array_equal(np.stack(got_a), np.stack(got_b))
+
+    def test_epoch_covers_dataset_between_shuffles(self):
+        images, gt = _tiny_data(n=12)
+        d = DeviceDataset(images, gt, batch=4, seed=0)
+        idx = d.next_indices(3).ravel()  # one full epoch
+        assert sorted(idx.tolist()) == list(range(12))
+
+    def test_gather_shapes_and_device(self):
+        images, gt = _tiny_data()
+        d = DeviceDataset(images, gt, batch=4, seed=0)
+        bi, bg = next(d)
+        assert isinstance(bi, jax.Array) and isinstance(bg, jax.Array)
+        assert bi.shape == (4, 64, 64, 3) and bi.dtype == jnp.uint8
+        assert bg.shape == (4, 6, 5)
+
+
+def _make_model(no_scan: bool, feeder):
+    from tpudet.models.yolo import YOLOv2
+
+    cfg = {
+        "mode": "train", "data_format": "channels_last", "num_classes": 3,
+        "weight_decay": 1e-4, "keep_prob": 1.0, "batch_size": 8,
+        "nms_score_threshold": 0.3, "nms_max_boxes": 4,
+        "nms_iou_threshold": 0.45, "coord_scale": 1.0, "noobj_scale": 1.0,
+        "obj_scale": 1.0, "class_scale": 1.0,
+        "priors": [[1.0, 1.2], [2.0, 1.4]],
+        "data_shape": [64, 64, 3], "seed": 11,
+    }
+    if no_scan:
+        cfg["no_scan_epoch"] = True
+    provider = {"data_shape": [64, 64, 3], "num_train": 24, "num_val": 0,
+                "train_generator": feeder, "val_generator": None}
+    return YOLOv2(cfg, provider)
+
+
+@pytest.mark.slow
+def test_scan_epoch_matches_per_step_epoch():
+    images, gt = _tiny_data(n=16, pad=6)
+    gt = gt.copy()
+    gt[:, :, 4] = np.where(gt[:, :, 4] >= 0, gt[:, :, 4] % 3, -1)
+
+    m_scan = _make_model(False, DeviceDataset(images, gt, batch=8, seed=5))
+    m_step = _make_model(True, DeviceDataset(images, gt, batch=8, seed=5))
+
+    l_scan = m_scan.train_one_epoch(1e-3)
+    l_step = m_step.train_one_epoch(1e-3)
+    assert np.isfinite(l_scan) and np.isfinite(l_step)
+    np.testing.assert_allclose(l_scan, l_step, rtol=2e-5)
+    assert m_scan.global_step == m_step.global_step == 3
+
+    flat_a = jax.tree.leaves(m_scan.params)
+    flat_b = jax.tree.leaves(m_step.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

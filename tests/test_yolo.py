@@ -150,7 +150,7 @@ class TestConsistentGeometry:
                     cy, cx = int(yc), int(xc)
                     view = pred.reshape(fh, fw, 3, C + 5)
                     ty, tx = yc - cy, xc - cx
-                    logit = lambda p: float(np.log(p / (1 - p)))
+                    logit = lambda p: float(np.log(max(p, 1e-9) / (1 - min(p, 1 - 1e-9))))
                     view[cy, cx, 0, :C] = [-12, 12, -12]
                     view[cy, cx, 0, C:C + 2] = [logit(ty), logit(tx)]
                     view[cy, cx, 0, C + 2] = np.log(bh / priors_per_head[j][0][0])

@@ -70,12 +70,23 @@ class DeviceDataset:
     def __iter__(self):
         return self
 
+    def next_indices(self, k: int) -> np.ndarray:
+        """Advance the shuffle stream by ``k`` batches and return their indices as
+        ``[k, batch]`` int32 — the host half of the feed. A caller can run all k
+        steps in ONE device dispatch (gather + step inside a ``lax.scan``), which
+        amortizes the per-dispatch tunnel round-trip (DetectorBase.train_one_epoch
+        does this automatically for device-resident feeds)."""
+        out = np.empty((k, self.batch), np.int32)
+        for i in range(k):
+            if self._pos + self.batch > self.n:
+                self.rng.shuffle(self._order)
+                self._pos = 0
+            out[i] = self._order[self._pos:self._pos + self.batch]
+            self._pos += self.batch
+        return out
+
     def __next__(self) -> Tuple[jax.Array, jax.Array]:
-        if self._pos + self.batch > self.n:
-            self.rng.shuffle(self._order)
-            self._pos = 0
-        idx = self._order[self._pos:self._pos + self.batch]
-        self._pos += self.batch
+        idx = self.next_indices(1)[0]
         return self._gather(self.images, self.gt, jnp.asarray(idx, jnp.int32))
 
     def reset(self):  # reference initializer contract: reshuffle + restart

@@ -159,8 +159,23 @@ class RPNSample(NamedTuple):
     neg_valid: jnp.ndarray       # [TOTAL_CAP] bool
 
 
-def rpn_image_loss_and_sample(pyx, phw, pconf, anc: AnchorSet, gt) -> RPNSample:
-    """LH_RCNN.py:299-442 in fixed shape. pyx/phw [A,2], pconf [A,2], gt [G,5]."""
+class _RPNPre(NamedTuple):
+    """Per-image NMS inputs for the RPN sampling stage (phase 1 of the split)."""
+
+    row_boxes: jnp.ndarray     # [G+A, 4]
+    row_obj_prob: jnp.ndarray  # [G+A]
+    row_valid: jnp.ndarray     # [G+A] bool
+    row_anchor: jnp.ndarray    # [G+A] int32
+    row_gt: jnp.ndarray        # [G+A] int32
+    row_ce: jnp.ndarray        # [G+A]
+    chosen_pos: jnp.ndarray    # scalar int32
+    neg_ce: jnp.ndarray        # [A]
+    neg: jnp.ndarray           # [A] bool
+    chosen_neg: jnp.ndarray    # scalar int32
+
+
+def _rpn_pre_nms(pyx, phw, pconf, anc: AnchorSet, gt) -> _RPNPre:
+    """LH_RCNN.py:299-405 up to (but excluding) the two sampling NMS calls."""
     g = matching.unpack_gt(gt)
     a = anc.y1x1.shape[0]
     gcount = g.count
@@ -187,25 +202,28 @@ def rpn_image_loss_and_sample(pyx, phw, pconf, anc: AnchorSet, gt) -> RPNSample:
 
     num_pos = gcount + jnp.sum(pos_other.astype(jnp.int32))
     chosen_pos = jnp.minimum(num_pos, POS_CAP)
-    pos_sel, pos_sel_valid = nms.greedy_nms(
-        row_boxes, row_obj_prob, POS_CAP, 0.7, active=row_valid,
-        num_select=chosen_pos)
-    pos_f = pos_sel_valid.astype(jnp.float32)
-    pos_conf_loss = jnp.sum(row_ce[pos_sel] * pos_f) / jnp.maximum(jnp.sum(pos_f), 1.0)
 
-    # ---- negatives: NMS-on-loss ----
     neg_ce = loss_ops.softmax_cross_entropy(pconf, jnp.ones((a,), jnp.int32))
     num_neg = jnp.sum(neg.astype(jnp.int32))
     chosen_neg = jnp.minimum(num_neg, TOTAL_CAP - chosen_pos)
-    anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
-    neg_sel, neg_sel_valid = nms.greedy_nms(
-        anc_corners, neg_ce, TOTAL_CAP, 0.7, active=neg, num_select=chosen_neg)
+    return _RPNPre(row_boxes, row_obj_prob, row_valid, row_anchor, row_gt, row_ce,
+                   chosen_pos, neg_ce, neg, chosen_neg)
+
+
+def _rpn_post_nms(pre: _RPNPre, pos_sel, pos_sel_valid, neg_sel, neg_sel_valid,
+                  pyx, phw, anc: AnchorSet, gt) -> RPNSample:
+    """LH_RCNN.py:405-442 from the NMS selections onward."""
+    g = matching.unpack_gt(gt)
+    pos_f = pos_sel_valid.astype(jnp.float32)
+    pos_conf_loss = (jnp.sum(pre.row_ce[pos_sel] * pos_f)
+                     / jnp.maximum(jnp.sum(pos_f), 1.0))
     neg_f = neg_sel_valid.astype(jnp.float32)
-    neg_loss = jnp.sum(neg_ce[neg_sel] * neg_f) / jnp.maximum(jnp.sum(neg_f), 1.0)
+    neg_loss = (jnp.sum(pre.neg_ce[neg_sel] * neg_f)
+                / jnp.maximum(jnp.sum(neg_f), 1.0))
 
     # ---- coord loss over the selected positives ----
-    sel_anchor = row_anchor[pos_sel]
-    sel_gt = row_gt[pos_sel]
+    sel_anchor = pre.row_anchor[pos_sel]
+    sel_gt = pre.row_gt[pos_sel]
     a_yx = anc.yx[sel_anchor]
     a_hw = anc.hw[sel_anchor]
     g_yx = g.yx[sel_gt]
@@ -238,6 +256,31 @@ def rpn_image_loss_and_sample(pyx, phw, pconf, anc: AnchorSet, gt) -> RPNSample:
 
     return RPNSample(rpn_loss, pos_proposal, pos_label, pos_truth, pos_sel_valid,
                      neg_proposal, neg_sel_valid)
+
+
+def rpn_loss_and_sample(pyx, phw, pconf, anc: AnchorSet, gt) -> RPNSample:
+    """Batched RPN loss + proposal sampling (LH_RCNN.py:299-442), all inputs with a
+    leading batch dim. The two sampling NMS passes (positives NMS-on-objectness,
+    negatives NMS-on-loss, LH_RCNN.py:387-405) run on the batched NMS path — one
+    Pallas kernel launch each on TPU instead of a per-image fori_loop inside vmap."""
+    pre = jax.vmap(lambda y, h, c, g: _rpn_pre_nms(y, h, c, anc, g))(
+        pyx, phw, pconf, gt)
+    pos_sel, pos_sel_valid = nms.batched_greedy_nms(
+        pre.row_boxes, pre.row_obj_prob, pre.chosen_pos, POS_CAP, 0.7,
+        active=pre.row_valid)
+    anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
+    neg_sel, neg_sel_valid = nms.batched_greedy_nms(
+        anc_corners, pre.neg_ce, pre.chosen_neg, TOTAL_CAP, 0.7, active=pre.neg)
+    return jax.vmap(
+        lambda p, ps, pv, ns, nv, y, h, g: _rpn_post_nms(p, ps, pv, ns, nv, y, h,
+                                                         anc, g)
+    )(pre, pos_sel, pos_sel_valid, neg_sel, neg_sel_valid, pyx, phw, gt)
+
+
+def rpn_image_loss_and_sample(pyx, phw, pconf, anc: AnchorSet, gt) -> RPNSample:
+    """Single-image convenience wrapper (tests/oracle comparisons)."""
+    batched = rpn_loss_and_sample(pyx[None], phw[None], pconf[None], anc, gt[None])
+    return jax.tree.map(lambda x: x[0], batched)
 
 
 def rcnn_losses(roi_head_fn, rcnn_feat, sample: RPNSample, img_h: float, img_w: float,

@@ -206,9 +206,40 @@ class DetectorBase:
 
         if self.mode == "train":
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+            self._train_step_fn = train_step  # raw fn, reused by the scan path
+            self._train_scan_cache = {}
 
         self._infer_cache = {}
         self._base_pre_topk = int(self.config.get("nms_pre_topk", 200))
+
+    def _train_scan(self, k: int):
+        """Jitted ``k``-step trainer for device-resident feeds: per iteration a
+        [B] index row gathers the batch from the HBM-resident dataset and runs one
+        train step, all inside a single ``lax.scan`` dispatch. On a tunneled chip
+        each dispatch costs a host round-trip (~100 ms); folding a 50-step chunk
+        into one dispatch removes that cap (measured 111 -> ~bench-rate imgs/s on
+        the SSD300 convergence loop)."""
+        fn = self._train_scan_cache.get(k)
+        if fn is None:
+            step_fn = self._train_step_fn
+
+            def scan_steps(params, bstats, opt_state, images_ds, gt_ds, idx, lr,
+                           step0):
+                def body(carry, idx_row):
+                    params, bstats, opt_state, step = carry
+                    images = jnp.take(images_ds, idx_row, 0)
+                    gt = jnp.take(gt_ds, idx_row, 0)
+                    params, bstats, opt_state, loss = step_fn(
+                        params, bstats, opt_state, images, gt, lr, step)
+                    return (params, bstats, opt_state, step + 1), loss
+
+                (params, bstats, opt_state, _), losses = jax.lax.scan(
+                    body, (params, bstats, opt_state, step0), idx)
+                return params, bstats, opt_state, losses
+
+            fn = self._train_scan_cache[k] = jax.jit(
+                scan_steps, donate_argnums=(0, 1, 2))
+        return fn
 
     def _build_infer(self, pre_topk: int):
         net = self.net
@@ -240,6 +271,30 @@ class DetectorBase:
             self.train_initializer()
         num_iters = self.num_train // self.batch_size
         sync_every = max(1, int(self.config.get("loss_sync_every", 16)))
+
+        from tpudet.data.device_dataset import DeviceDataset
+
+        ds = self.train_iterator
+        if (isinstance(ds, DeviceDataset) and num_iters > 1
+                and self.process_count == 1
+                and ds.batch == self.device_batch
+                and not self.config.get("no_scan_epoch")):
+            idx = jnp.asarray(ds.next_indices(num_iters))
+            self.params, self.batch_stats, self.opt_state, losses = (
+                self._train_scan(num_iters)(
+                    self.params, self.batch_stats, self.opt_state, ds.images,
+                    ds.gt, idx, jnp.float32(lr), jnp.int32(self.global_step)))
+            self.global_step += num_iters
+            losses = jax.device_get(losses)
+            if writer is not None:
+                base = self.global_step - num_iters
+                for i, lo in enumerate(losses):
+                    writer.add_summary(float(lo), global_step=base + i + 1)
+            sys.stdout.write(
+                f"\r>> iters {num_iters - 1}/{num_iters} loss {losses[-1]}\n")
+            sys.stdout.flush()
+            return float(np.mean(losses))
+
         losses = []
         shown = float("nan")
         for i in range(num_iters):

@@ -146,9 +146,7 @@ class LHRCNN(DetectorBase):
                 {"params": params, "batch_stats": bstats}, images, True,
                 mutable=["batch_stats"])
             pyx, phw, pconf = self._split_rpn(rpn_conf, rpn_loc)
-            sample = jax.vmap(
-                lambda y, hw_, c, g: lh.rpn_image_loss_and_sample(y, hw_, c, anc, g)
-            )(pyx, phw, pconf, gt)
+            sample = lh.rpn_loss_and_sample(pyx, phw, pconf, anc, gt)
             from tpudet.ops import losses as loss_ops
 
             rpn_loss = loss_ops.weighted_mean(sample.rpn_loss, sample_weight)
@@ -192,6 +190,8 @@ class LHRCNN(DetectorBase):
 
         if self.mode == "train":
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+            self._train_step_fn = train_step  # raw fn, reused by the scan path
+            self._train_scan_cache = {}
 
         self._infer_cache = {}
         self._base_pre_topk = int(self.config.get("nms_pre_topk", 100))
