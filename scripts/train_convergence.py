@@ -124,14 +124,18 @@ def model_specs():
                             "data_shape": [448, 448, 3]}),
                    5e-4, 7000, drop),
         # opt-in consistent_geometry (decode inverts the training encoding —
-        # quirk-faithful YOLOv3 decode cannot, by the reference's own Q3/Q4 design;
-        # see tpudet/heads/yolo.py): the mAP-at-convergence configuration
+        # quirk-faithful YOLOv3 decode cannot, by the reference's own Q3/Q4 design)
+        # + raw_prediction_conv (the reference's BN+LeakyReLU prediction conv, Q5,
+        # compresses negative logits 10x and objectness never separates — measured
+        # obj>0.05 on ALL head-0 cells after 7k steps): the mAP-at-convergence
+        # configuration; see tpudet/heads/yolo.py
         "YOLOv3-consistent": ("tpudet.models.yolo.YOLOv3", (448, 448),
                               _common({"batch_size": 12, "weight_decay": 5e-4,
                                        "coord_scale": 1, "noobj_scale": 1,
                                        "obj_scale": 5.0, "class_scale": 1.0,
                                        "num_priors": 3,
                                        "consistent_geometry": True,
+                                       "raw_prediction_conv": True,
                                        "priors": [[[10.0, 13.0], [16, 30.0],
                                                    [33.0, 23.0]],
                                                   [[30.0, 61.0], [62.0, 45.0],
@@ -146,6 +150,7 @@ def model_specs():
                                        "class_scale": 1.0,
                                        "rescore_confidence": False,
                                        "consistent_geometry": True,
+                                       "raw_prediction_conv": True,
                                        "priors": [[1.08, 1.19], [3.42, 4.41],
                                                   [6.63, 11.38], [9.42, 5.11],
                                                   [16.62, 10.52]],
@@ -179,11 +184,13 @@ def model_specs():
                             "rpn_first_step": 2500, "rcnn_first_step": 4000,
                             "rpn_second_step": 5000, "post_nms_proposal": 500}),
                    3e-4, 6000, [(0.05, 0.1), (0.78, 1.0), (0.17, 0.1)]),
+        # 12k steps: the penalty-reduced focal heatmap converges much slower than
+        # the anchor losses (loss still falling fast at 5k)
         "CenterNet": ("tpudet.models.centernet.CenterNet", (384, 384),
                       _common({"batch_size": 15, "input_size": 384,
                                "score_threshold": 0.05,
                                "top_k_results_output": 40}),
-                      1e-3, 5000, drop),
+                      1e-3, 12000, drop),
         "FCOS": ("tpudet.models.fcos.FCOS", (800, 1200),
                  _common({"batch_size": 8, "data_shape": [800, 1200, 3],
                           "host_feed": True}),

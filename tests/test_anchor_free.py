@@ -21,6 +21,24 @@ class TestCenterNetLoss:
         sigma1 = center_head._gaussian_sigma(h[:1], w[:1], valid[:1])
         assert float(sigma) <= float(sigma1)
 
+    def test_gaussian_sigma_reference_formulas(self):
+        # NumPy transcription of CenterNet.py:255-270 (incl. the /2 — not
+        # /(2*a) — quirk on every radius)
+        h = np.asarray([10.0, 4.0, 23.0])
+        w = np.asarray([8.0, 5.0, 3.0])
+        mo = 0.7
+        b1 = h + w
+        r1 = (b1 + np.sqrt(b1 ** 2 - 4 * (w * h * (1 - mo) / (1 + mo)))) / 2.0
+        b2 = 2.0 * (h + w)
+        r2 = (b2 + np.sqrt(b2 ** 2 - 16.0 * ((1 - mo) * w * h))) / 2.0
+        b3 = -2.0 * mo * (h + w)
+        r3 = (b3 + np.sqrt(b3 ** 2 - 16.0 * mo * ((mo - 1) * w * h))) / 2.0
+        expect = min(np.concatenate([r1, r2, r3]))
+        got = center_head._gaussian_sigma(
+            jnp.asarray(h, jnp.float32), jnp.asarray(w, jnp.float32),
+            jnp.asarray([True, True, True]))
+        np.testing.assert_allclose(float(got), expect, rtol=1e-6)
+
     def test_perfect_prediction_low_loss(self):
         h = w = 16
         C = 3

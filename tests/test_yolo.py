@@ -202,6 +202,44 @@ class TestConsistentGeometry:
         loss = model.train_one_epoch(0.001)
         assert np.isfinite(loss)
 
+    def test_v3_raw_prediction_conv(self):
+        from tpudet.models.yolo import YOLOv3
+
+        rng = np.random.default_rng(6)
+        cfg = {
+            "mode": "train", "data_format": "channels_last", "num_classes": 3,
+            "weight_decay": 1e-4, "keep_prob": 1.0, "batch_size": 2,
+            "nms_score_threshold": 0.3, "nms_max_boxes": 4,
+            "nms_iou_threshold": 0.45, "coord_scale": 1.0, "noobj_scale": 1.0,
+            "obj_scale": 1.0, "class_scale": 1.0, "num_priors": 3,
+            "data_shape": [64, 64, 3], "consistent_geometry": True,
+            "raw_prediction_conv": True,
+            "priors": [[[10.0, 13.0], [16.0, 30.0], [33.0, 23.0]],
+                       [[30.0, 61.0], [62.0, 45.0], [59.0, 119.0]],
+                       [[116.0, 90.0], [156.0, 198.0], [373.0, 326.0]]],
+            "nms_pre_topk": 16,
+        }
+
+        def batches():
+            while True:
+                images = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+                gt = -np.ones((2, 6, 5), np.float32)
+                gt[:, 0] = [32, 32, 20, 24, 1]
+                yield images, gt
+
+        provider = {"data_shape": [64, 64, 3], "num_train": 4, "num_val": 0,
+                    "train_generator": (lambda: None, batches()),
+                    "val_generator": None}
+        model = YOLOv3(cfg, provider)
+        # the raw prediction layer is a plain conv with a bias, no BN scope
+        pred = model.params["pyd1"]["pred"]
+        assert "bias" in pred["conv"] and "bn" not in pred
+        loss = model.train_one_epoch(0.001)
+        assert np.isfinite(loss)
+        res = model.test_one_image(
+            rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32))
+        assert len(res) == 3
+
 
 def test_yolov2_model_end_to_end():
     from tpudet.models.yolo import YOLOv2

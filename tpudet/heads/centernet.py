@@ -51,7 +51,8 @@ def _gaussian_sigma(h, w, valid, min_overlap=0.7):
     a3 = 4.0 * min_overlap
     b3 = -2.0 * min_overlap * (h + w)
     c3 = (min_overlap - 1.0) * w * h
-    r3 = (b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4.0 * a3 * c3, 0.0))) / (2.0 * a3)
+    # quirk: the reference divides by 2, NOT 2*a3 (CenterNet.py:268-270)
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3 ** 2 - 4.0 * a3 * c3, 0.0))) / 2.0
     all_r = jnp.stack([r1, r2, r3])  # [3, G]
     return jnp.min(jnp.where(valid[None, :], all_r, jnp.inf))
 

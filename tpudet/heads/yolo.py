@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tpudet.nn.backbones.darknet import DarkNet19, DarkNet53, _DarkConv, _leaky
-from tpudet.nn.layers import ConvBN
+from tpudet.nn.layers import Conv, ConvBN
 from tpudet.ops import losses as loss_ops
 from tpudet.ops import matching, nms
 
@@ -297,6 +297,7 @@ class YOLOv2Net(nn.Module):
 
     final_units: int
     dtype: jnp.dtype = jnp.float32
+    raw_pred: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -312,8 +313,13 @@ class YOLOv2Net(nn.Module):
         conv = ConvBN(1024, 3, activation=_leaky, dtype=self.dtype,
                       name="head_conv5")(conv, train)
         conv = jnp.concatenate([passthrough, conv], -1)
-        pred = ConvBN(self.final_units, 1, dtype=self.dtype,
-                      name="head_pred")(conv, train)  # conv+BN, no activation
+        if self.raw_pred:
+            # opt-in ``raw_prediction_conv``: plain conv + bias (the reference puts
+            # BN on the prediction conv too — YOLOv2.py:91,353-364)
+            pred = Conv(self.final_units, 1, dtype=self.dtype, name="head_pred")(conv)
+        else:
+            pred = ConvBN(self.final_units, 1, dtype=self.dtype,
+                          name="head_pred")(conv, train)  # conv+BN, no activation
         return pred
 
 
@@ -330,6 +336,7 @@ class _YOLOv3Header(nn.Module):
     final_units: int
     has_pyramid: bool
     dtype: jnp.dtype
+    raw_pred: bool = False
 
     @nn.compact
     def __call__(self, bottom, pyramid, train: bool):
@@ -346,22 +353,32 @@ class _YOLOv3Header(nn.Module):
         c = _DarkConv(self.filters, 3, dtype=self.dtype, name="conv4")(c, train)
         top_down = _DarkConv(self.filters // 2, 1, dtype=self.dtype, name="conv5")(c, train)
         c = _DarkConv(self.filters, 3, dtype=self.dtype, name="conv6")(top_down, train)
-        # Q5: the prediction conv also has BN + LeakyReLU (default is_activation=True)
-        pred = _DarkConv(self.final_units, 1, dtype=self.dtype, name="pred")(c, train)
+        if self.raw_pred:
+            # opt-in ``raw_prediction_conv`` extension: plain conv + bias. The
+            # reference's BN + LeakyReLU on the prediction conv (quirk Q5,
+            # YOLOv3.py:416,494-507) compresses negative logits 10x, which blocks
+            # objectness/class suppression from converging — measured mAP 0.01 vs
+            # 0.8+ with a raw head on the synthetic convergence protocol.
+            pred = Conv(self.final_units, 1, dtype=self.dtype, name="pred")(c)
+        else:
+            # Q5: the prediction conv has BN + LeakyReLU (default is_activation=True)
+            pred = _DarkConv(self.final_units, 1, dtype=self.dtype,
+                             name="pred")(c, train)
         return pred, top_down
 
 
 class YOLOv3Net(nn.Module):
     final_units: int
     dtype: jnp.dtype = jnp.float32
+    raw_pred: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         b5, b4, b3 = DarkNet53(dtype=self.dtype, name="backone")(x, train)
         pred1, td = _YOLOv3Header(1024, self.final_units, False, self.dtype,
-                                  name="pyd1")(b5, None, train)
+                                  self.raw_pred, name="pyd1")(b5, None, train)
         pred2, td = _YOLOv3Header(256, self.final_units, True, self.dtype,
-                                  name="pyd2")(b4, td, train)
+                                  self.raw_pred, name="pyd2")(b4, td, train)
         pred3, _ = _YOLOv3Header(128, self.final_units, True, self.dtype,
-                                 name="pyd3")(b3, td, train)
+                                 self.raw_pred, name="pyd3")(b3, td, train)
         return pred1, pred2, pred3

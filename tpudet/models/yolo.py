@@ -4,6 +4,13 @@ Config keys beyond the common set: ``data_shape``, ``coord_scale``, ``noobj_scal
 ``obj_scale``, ``class_scale``, ``priors`` (YOLOv2: [[h,w]...] in grid units;
 YOLOv3: 3 lists in pixels, divided by stride [8,16,32] — quirk Q4), ``num_priors``
 (YOLOv3), ``rescore_confidence`` (accepted, unused — quirk Q13).
+
+Opt-in extensions (default off = reference-faithful):
+  * ``consistent_geometry`` — decode inverts the training encoding
+    (multiplicative hw, true strides, no half-cell bias) instead of quirks Q3/Q4;
+  * ``raw_prediction_conv`` — plain conv+bias prediction layer instead of the
+    reference's BN(+LeakyReLU for v3) prediction conv (YOLOv3.py:416,494-507),
+    which compresses negative logits and blocks objectness convergence.
 """
 
 from __future__ import annotations
@@ -63,7 +70,8 @@ class YOLOv2(_YOLOBase):
         self.downsampling_rate = 32.0
         self.net = yolo_head.YOLOv2Net(
             final_units=(self.raw_classes + 5) * len(self.priors_hw),
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype,
+            raw_pred=bool(cfg.get("raw_prediction_conv", False)))
 
     def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         return yolo_head.yolov2_loss(outputs, self.priors_hw, gt, self.raw_classes,
@@ -99,7 +107,8 @@ class YOLOv3(_YOLOBase):
         num_priors = int(cfg.get("num_priors", len(cfg["priors"][0])))
         self.net = yolo_head.YOLOv3Net(
             final_units=(self.raw_classes + 5) * num_priors,
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype,
+            raw_pred=bool(cfg.get("raw_prediction_conv", False)))
 
     def _loss_from_outputs(self, outputs, gt, sample_weight=None):
         return yolo_head.yolov3_loss(outputs, self.priors_per_head, gt,

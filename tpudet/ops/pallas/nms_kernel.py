@@ -29,22 +29,37 @@ _BIG_IDX = 2 ** 30  # plain int: jnp constants would be captured tracers in the 
 def _kernel(ns_ref, sc_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
             s, *, max_out: int, iou_threshold: float):
     i = pl.program_id(0)
+
+    # SMEM outputs must be fully initialized: the selection loop below exits early
+    # (typical mining budgets select ~10-25% of the static cap)
+    def init(k, _):
+        sel_ref[i, k] = 0
+        val_ref[i, k] = 0
+        return 0
+
+    jax.lax.fori_loop(0, max_out, init, 0)
+
     s[:] = sc_ref[0]
     y1 = y1_ref[0]
     x1 = x1_ref[0]
     y2 = y2_ref[0]
     x2 = x2_ref[0]
     area = (y2 - y1) * (x2 - x1)
-    n_sel = ns_ref[i]
+    n_sel = jnp.minimum(ns_ref[i], max_out)
     r, lanes = s.shape
     lin = (jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 0) * lanes
            + jax.lax.broadcasted_iota(jnp.int32, (r, lanes), 1))
 
-    def body(k, _):
+    def cond(carry):
+        k, alive = carry
+        return jnp.logical_and(k < n_sel, alive)
+
+    def body(carry):
+        k, _ = carry
         vals = s[:]
         best = jnp.max(vals)
         j = jnp.min(jnp.where(vals == best, lin, _BIG_IDX))
-        ok = jnp.logical_and(best > _NEG / 2, k < n_sel)
+        ok = best > _NEG / 2  # live candidates remain
         onehot = (lin == j).astype(jnp.float32)
         by1 = jnp.sum(y1 * onehot)
         bx1 = jnp.sum(x1 * onehot)
@@ -58,11 +73,14 @@ def _kernel(ns_ref, sc_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
         # degenerate zero-area boxes)
         kill = jnp.logical_and(ok, jnp.logical_or(iou > iou_threshold, lin == j))
         s[:] = jnp.where(kill, _NEG, vals)
-        sel_ref[i, k] = j
+        sel_ref[i, k] = jnp.where(ok, j, 0)
         val_ref[i, k] = ok.astype(jnp.int32)
-        return 0
+        return k + 1, ok
 
-    jax.lax.fori_loop(0, max_out, body, 0)
+    # early-exit greedy loop: iterations = actual selections, not the static cap
+    # (the fori_loop formulation burned max_out iterations per image regardless —
+    # the dominant cost of the SSD train step's loss at 384 cap, scripts/profile_ssd)
+    jax.lax.while_loop(cond, body, (0, True))
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "iou_threshold", "interpret"))
