@@ -87,6 +87,27 @@ def fwd_loss(params, bstats, x, g):
     return model._loss_from_outputs(outs, g, None)
 
 
+# 2b. forward + loss with the mining NMS ablated (selection indices forced
+# constant) — attributes the loss overhead between matching/CE and the NMS
+@jax.jit
+def fwd_loss_nonms(params, bstats, x, g):
+    from unittest import mock
+
+    from tpudet.ops import nms as nms_mod
+
+    def fake_nms(boxes, scores, num_select, max_out, iou_threshold, active=None):
+        b = scores.shape[0]
+        idx = jnp.broadcast_to(jnp.arange(max_out, dtype=jnp.int32)[None], (b, max_out))
+        valid = idx < num_select[:, None]
+        return idx, valid
+
+    x = model._preprocess(x.astype(jnp.float32))
+    outs, _ = net.apply({"params": params, "batch_stats": bstats}, x, True,
+                        mutable=["batch_stats"])
+    with mock.patch.object(nms_mod, "batched_greedy_nms", fake_nms):
+        return model._loss_from_outputs(outs, g, None)
+
+
 # 3. full train step (value_and_grad + update)  — the model's own compiled step
 def full_step(pa, bs, os_, x, g):
     return model._train_step(pa, bs, os_, x, g, jnp.float32(1e-3), jnp.int32(5))
@@ -94,6 +115,8 @@ def full_step(pa, bs, os_, x, g):
 
 t_fwd = timeit("forward", fwd, params, bstats, dev_images)
 t_fl = timeit("forward+loss", fwd_loss, params, bstats, dev_images, dev_gt)
+t_fln = timeit("forward+loss (NMS ablated)", fwd_loss_nonms, params, bstats,
+               dev_images, dev_gt)
 
 # keep reusable copies: _train_step donates
 import copy
@@ -124,5 +147,7 @@ ca = ca[0] if isinstance(ca, (list, tuple)) else ca
 flops = ca.get("flops", float("nan")) if ca else float("nan")
 print(f"XLA flops/step {flops/1e12:.3f} T  -> achieved {flops/t_step/1e12:.1f} "
       f"TFLOP/s = {flops/t_step/PEAK*100:.1f}% MFU", flush=True)
-print(f"loss-only overhead  {1e3*(t_fl - t_fwd):6.2f} ms", flush=True)
+print(f"loss-only overhead  {1e3*(t_fl - t_fwd):6.2f} ms "
+      f"(matching/CE {1e3*(t_fln - t_fwd):6.2f} + mining NMS "
+      f"{1e3*(t_fl - t_fln):6.2f})", flush=True)
 print(f"bwd/opt overhead    {1e3*(t_step - t_fl):6.2f} ms", flush=True)

@@ -149,8 +149,10 @@ def model_specs():
                                        "noobj_scale": 1, "obj_scale": 5.0,
                                        "class_scale": 1.0,
                                        "rescore_confidence": False,
+                                       # consistent decode alone lifts v2 from
+                                       # mAP 0.48 to 0.91 (result.json); the BN
+                                       # prediction conv (no lrelu in v2) is fine
                                        "consistent_geometry": True,
-                                       "raw_prediction_conv": True,
                                        "priors": [[1.08, 1.19], [3.42, 4.41],
                                                   [6.63, 11.38], [9.42, 5.11],
                                                   [16.62, 10.52]],
@@ -163,23 +165,24 @@ def model_specs():
                                "gamma": 2.0, "alpha": 0.25,
                                "data_shape": [500, 500, 3]}),
                       1e-3, 4500, drop),
-        # host_feed: interleaving the standalone DeviceDataset gather dispatch with
-        # the RefineDet-family step crashes the tunneled TPU worker (reproduced
-        # with XLA-only NMS — scripts/bisect_refinedet.py; host-feed runs clean)
+        # host_feed + loss_sync_every 2: the RefineDet-family step crashes the
+        # tunneled TPU worker when ~24 per-step dispatches queue up asynchronously
+        # (crash always surfaces at the FIRST float(loss) sync); bounding the
+        # dispatch queue depth is the mitigation under test
         "RefineDet320": ("tpudet.models.refinedet.RefineDet320", (320, 320),
                          _common({"batch_size": 32, "input_size": 320,
-                                  "host_feed": True}),
+                                  "host_feed": True, "loss_sync_every": 2}),
                          5e-4, 5000, drop),
         "PFPNetR": ("tpudet.models.refinedet.PFPNetR", (320, 320),
                     _common({"batch_size": 32, "input_size": 320,
-                             "host_feed": True}),
+                             "host_feed": True, "loss_sync_every": 2}),
                     5e-4, 5000, drop),
         # host_feed: a 700x1100/800x1200 uint8 dataset is ~9-12 GB; the
         # device-resident gather path needs a layout copy of the whole dataset at
         # scan compile time (observed 18.45G > 15.75G HBM), so feed from host.
         "LHRCNN": ("tpudet.models.lhrcnn.LHRCNN", (700, 1100),
                    _common({"batch_size": 8, "data_shape": [700, 1100, 3],
-                            "host_feed": True,
+                            "host_feed": True, "loss_sync_every": 2,
                             "is_pretraining": False,
                             "rpn_first_step": 2500, "rcnn_first_step": 4000,
                             "rpn_second_step": 5000, "post_nms_proposal": 500}),
@@ -193,7 +196,7 @@ def model_specs():
                       1e-3, 12000, drop),
         "FCOS": ("tpudet.models.fcos.FCOS", (800, 1200),
                  _common({"batch_size": 8, "data_shape": [800, 1200, 3],
-                          "host_feed": True}),
+                          "host_feed": True, "loss_sync_every": 2}),
                  1e-3, 5000, drop),
     }
 

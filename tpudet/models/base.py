@@ -263,10 +263,13 @@ class DetectorBase:
         """One epoch; optional ``writer`` gets per-step loss scalars
         (YOLOv2.py:305-316 contract, available on every model here).
 
-        Losses stay ON DEVICE and are fetched every ``loss_sync_every`` steps
-        (config, default 16): a per-step ``float(loss)`` would block dispatch on a
-        device round-trip every iteration. The ``\\r`` progress line therefore
-        shows the most recently synced loss; the returned epoch mean is exact."""
+        Losses stay ON DEVICE behind a rolling window: the loss of the step
+        dispatched ``loss_sync_every`` (config, default 16) iterations ago is
+        fetched each iteration, so at most that many steps are ever in flight
+        (a per-step ``float(loss)`` would block dispatch on a device round-trip
+        every iteration; an unbounded queue can overwhelm a tunneled worker).
+        The ``\\r`` progress line therefore shows a slightly lagged loss; the
+        returned epoch mean is exact."""
         if callable(self.train_initializer):
             self.train_initializer()
         num_iters = self.num_train // self.batch_size
@@ -306,8 +309,11 @@ class DetectorBase:
             )
             self.global_step += 1
             losses.append(loss)
-            if (i + 1) % sync_every == 0 or i + 1 == num_iters:
-                shown = float(loss)  # bounds the async dispatch queue too
+            if i >= sync_every or i + 1 == num_iters:
+                # rolling sync: wait for the step dispatched sync_every iters ago,
+                # keeping the async queue at a bounded depth without draining it
+                shown = float(losses[-1] if i + 1 == num_iters
+                              else losses[i - sync_every])
             sys.stdout.write(f"\r>> iters {i}/{num_iters} loss {shown}")
             sys.stdout.flush()
             if writer is not None:
