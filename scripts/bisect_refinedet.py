@@ -79,6 +79,12 @@ cfg = {"mode": "train", "data_format": "channels_last", "num_classes": 20,
 if "--device-augment" in sys.argv:
     cfg["device_augment"] = {"flip_prob": [0.5, 0.5]}
     print("device_augment on", flush=True)
+if "--scan" in sys.argv:
+    # the convergence runs' one-dispatch epoch scan (DetectorBase._train_scan);
+    # the crashed RefineDet/PFPNetR runs are the only ones combining it with the
+    # Pallas mining NMS kernel in the scan body
+    cfg.pop("no_scan_epoch", None)
+    print("scan epoch on", flush=True)
 
 feed = batches()
 if "--synthvoc" in sys.argv or "--device-dataset" in sys.argv:
