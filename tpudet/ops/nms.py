@@ -14,6 +14,7 @@ and a box is suppressed when its IoU with an already-selected box exceeds
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -117,7 +118,13 @@ def batched_greedy_nms(boxes, scores, num_select, max_out: int,
 
     # dispatch at LOWERING time, not trace time: a computation lowered for an
     # explicit non-default backend (jit(..., backend='cpu'), or CPU tests on a TPU
-    # host) gets the right implementation either way
+    # host) gets the right implementation either way. TPUDET_NMS_IMPL=xla|pallas
+    # overrides (escape hatch while a kernel regression is being isolated).
+    forced = os.environ.get("TPUDET_NMS_IMPL", "").lower()
+    if forced == "xla":
+        return _xla(boxes, scores, num_select)
+    if forced == "pallas":
+        return _pallas(boxes, scores, num_select)
     return jax.lax.platform_dependent(boxes, scores, num_select,
                                       tpu=_pallas, default=_xla)
 
