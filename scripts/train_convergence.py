@@ -165,6 +165,24 @@ def model_specs():
                                "gamma": 2.0, "alpha": 0.25,
                                "data_shape": [500, 500, 3]}),
                       1e-3, 4500, drop),
+        # long variants: the 4.5k/12k curves were still falling at the lr drop
+        # (CenterNet loss halving every ~1.2k steps at the 70% drop point) —
+        # extend the base-lr segment (curve evidence in BASELINE.md)
+        "RetinaNet-long": ("tpudet.models.retinanet.RetinaNet", (500, 500),
+                           _common({"batch_size": 32, "is_bottleneck": True,
+                                    "residual_block_list": [3, 4, 6, 3],
+                                    "init_conv_filters": 16,
+                                    "is_pretraining": False,
+                                    "gamma": 2.0, "alpha": 0.25,
+                                    "data_shape": [500, 500, 3]}),
+                           1e-3, 9000,
+                           [(0.03, 0.1), (0.87, 1.0), (0.07, 0.1), (0.03, 0.01)]),
+        "CenterNet-long": ("tpudet.models.centernet.CenterNet", (384, 384),
+                           _common({"batch_size": 15, "input_size": 384,
+                                    "score_threshold": 0.05,
+                                    "top_k_results_output": 40}),
+                           1e-3, 30000,
+                           [(0.02, 0.1), (0.88, 1.0), (0.07, 0.1), (0.03, 0.01)]),
         # host_feed + loss_sync_every 2: the RefineDet-family step crashes the
         # tunneled TPU worker when ~24 per-step dispatches queue up asynchronously
         # (crash always surfaces at the FIRST float(loss) sync); bounding the
