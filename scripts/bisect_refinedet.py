@@ -54,20 +54,25 @@ from tpudet.models.refinedet import RefineDet320
 rng = np.random.default_rng(0)
 B, H, W = 32, 320, 320
 STEPS = int(os.environ.get("BISECT_STEPS", "30"))
+GT_PAD = 60 if "--pad60" in sys.argv else 24
+
+
+def random_gt():
+    gt = -np.ones((B, GT_PAD, 5), np.float32)
+    for b in range(B):
+        for k in range(rng.integers(1, 6)):
+            h = rng.uniform(20, 200)
+            w = rng.uniform(20, 200)
+            yc = rng.uniform(h / 2, H - h / 2)
+            xc = rng.uniform(w / 2, W - w / 2)
+            gt[b, k] = [yc, xc, h, w, rng.integers(0, 20)]
+    return gt
 
 
 def batches():
     while True:
         images = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
-        gt = -np.ones((B, 24, 5), np.float32)
-        for b in range(B):
-            for k in range(rng.integers(1, 6)):
-                h = rng.uniform(20, 200)
-                w = rng.uniform(20, 200)
-                yc = rng.uniform(h / 2, H - h / 2)
-                xc = rng.uniform(w / 2, W - w / 2)
-                gt[b, k] = [yc, xc, h, w, rng.integers(0, 20)]
-        yield images, gt
+        yield images, random_gt()
 
 
 cfg = {"mode": "train", "data_format": "channels_last", "num_classes": 20,
@@ -103,14 +108,20 @@ if "--synthvoc" in sys.argv or "--device-dataset" in sys.argv:
     else:
         arr_i = np.asarray(train_images[:512])
         arr_g = np.asarray(train_gt[:512])
+        use_real_images = "--gt-only" not in sys.argv
+        use_real_gt = "--images-only" not in sys.argv
 
         def synth_batches():
             while True:
                 idx = rng.integers(0, arr_i.shape[0], B)
-                yield arr_i[idx], arr_g[idx]
+                images = arr_i[idx] if use_real_images else \
+                    rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+                gt = arr_g[idx] if use_real_gt else random_gt()
+                yield images, gt
 
         feed = synth_batches()
-        print("synthvoc host feed", flush=True)
+        print(f"synthvoc host feed (real_images={use_real_images} "
+              f"real_gt={use_real_gt})", flush=True)
 
 provider = {"data_shape": [H, W, 3], "num_train": B * STEPS, "num_val": 0,
             "train_generator": feed, "val_generator": None}

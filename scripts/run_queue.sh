@@ -4,9 +4,24 @@
 # one in-process fault). Usage: scripts/run_queue.sh MODEL [MODEL...]
 cd "$(dirname "$0")/.."
 LOG=.convergence/queue3.log
+probe() {
+  # wait for the tunneled TPU worker to answer again after a crash, so one
+  # model's fault doesn't surface as FAILED_PRECONDITION in the next run
+  for i in $(seq 1 30); do
+    if timeout 120 python - <<'EOF' >/dev/null 2>&1
+import jax
+jax.numpy.zeros((8, 8)).sum().block_until_ready()
+EOF
+    then return 0; fi
+    echo "=== probe $i failed; waiting for TPU recovery ===" >> "$LOG"
+    sleep 20
+  done
+  return 1
+}
 for m in "$@"; do
   echo "=== $(date -u +%H:%M:%S) starting $m ===" | tee -a "$LOG"
-  timeout 7200 python scripts/train_convergence.py "$m" >> "$LOG" 2>&1
+  timeout 14400 python scripts/train_convergence.py "$m" >> "$LOG" 2>&1
   echo "=== $(date -u +%H:%M:%S) $m exited rc=$? ===" | tee -a "$LOG"
+  probe
 done
 echo "=== queue done ===" | tee -a "$LOG"
