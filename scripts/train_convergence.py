@@ -189,11 +189,13 @@ def model_specs():
         # dispatch queue depth is the mitigation under test
         "RefineDet320": ("tpudet.models.refinedet.RefineDet320", (320, 320),
                          _common({"batch_size": 32, "input_size": 320,
-                                  "host_feed": True, "loss_sync_every": 2}),
+                                  "host_feed": True, "loss_sync_every": 2,
+                                  "gt_pad": 24}),
                          5e-4, 5000, drop),
         "PFPNetR": ("tpudet.models.refinedet.PFPNetR", (320, 320),
                     _common({"batch_size": 32, "input_size": 320,
-                             "host_feed": True, "loss_sync_every": 2}),
+                             "host_feed": True, "loss_sync_every": 2,
+                             "gt_pad": 24}),
                     5e-4, 5000, drop),
         # host_feed: a 700x1100/800x1200 uint8 dataset is ~9-12 GB; the
         # device-resident gather path needs a layout copy of the whole dataset at
@@ -214,7 +216,8 @@ def model_specs():
                       1e-3, 12000, drop),
         "FCOS": ("tpudet.models.fcos.FCOS", (800, 1200),
                  _common({"batch_size": 8, "data_shape": [800, 1200, 3],
-                          "host_feed": True, "loss_sync_every": 2}),
+                          "host_feed": True, "loss_sync_every": 2,
+                          "gt_pad": 24}),
                  1e-3, 5000, drop),
     }
 
@@ -244,6 +247,13 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
     train_images, train_gt, _, _ = synthvoc.load(d)
 
     batch = config["batch_size"]
+    # gt_pad: slice the [N, 60, 5] gt memmap to a smaller -1-padded width (lossless
+    # for synthvoc's <=6 objects/image). The gt-pad=60 shape is the isolated trigger
+    # of the RefineDet-family axon TPU-worker kernel fault (.convergence/bisect2.log:
+    # pad60 crashes even on pure random data; pad24 always passes).
+    gt_pad = config.pop("gt_pad", None)
+    if gt_pad is not None:
+        train_gt = train_gt[:, :gt_pad]
     if config.pop("host_feed", False):
         feeder = MemmapFeeder(train_images, train_gt, batch, seed=1)
     else:

@@ -63,12 +63,20 @@ def _hsv_to_rgb(h, s, v):
 
 
 def _flip_gt(gt, flip, dim_size, coord):
-    """Remap center coordinate ``coord`` (0=yc, 1=xc) for flipped samples."""
+    """Remap center coordinate ``coord`` (0=yc, 1=xc) for flipped samples.
+
+    Scatter-free formulation (broadcast one-hot select instead of
+    ``gt.at[..., coord].set``). Note: this was tried as a workaround for the
+    RefineDet-family TPU worker fault at gt pad 60 (.convergence/bisect2.log —
+    pad60+device-augment crashes on pure random data; pad60 alone and pad24+augment
+    both pass) and does NOT avoid the fault — the select form is kept only because
+    it is at least as cheap and avoids a scatter in the fused step."""
     valid = gt[..., 0] >= 0
     c = gt[..., coord]
     flipped = (dim_size - 1.0) - c
     c = jnp.where(jnp.logical_and(valid, flip[:, None]), flipped, c)
-    return gt.at[..., coord].set(c)
+    onehot = jnp.arange(gt.shape[-1]) == coord
+    return jnp.where(onehot, c[..., None], gt)
 
 
 def apply(key, images, gt, cfg):
