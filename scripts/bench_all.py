@@ -139,6 +139,20 @@ def bench_model(name, spec, train_steps=6, latency_runs=15):
     result["train_imgs_per_sec"] = round(batch / dt, 1)
     result["loss_finite"] = bool(np.isfinite(float(loss)))
 
+    # per-model MFU vs the v5e bf16 peak (~197 TFLOP/s), from XLA's own FLOP
+    # count for the train step (round-2 VERDICT task 4: a per-model MFU column)
+    try:
+        lowered = jax.jit(model._train_step_fn).lower(
+            model.params, model.batch_stats, model.opt_state, dimages, dgt, lr,
+            *extra)
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan"))) if ca else float("nan")
+        result["train_step_tflop"] = round(flops / 1e12, 3)
+        result["mfu_pct"] = round(flops / dt / 197e12 * 100.0, 1)
+    except Exception as e:
+        result["mfu_note"] = f"cost_analysis unavailable: {e!r}"[:200]
+
     # p50 inference latency (test mode, batch 1, full on-device decode)
     test_cfg = dict(spec["config"])
     test_cfg["mode"] = "test"

@@ -84,6 +84,11 @@ cfg = {"mode": "train", "data_format": "channels_last", "num_classes": 20,
 if "--device-augment" in sys.argv:
     cfg["device_augment"] = {"flip_prob": [0.5, 0.5]}
     print("device_augment on", flush=True)
+if "--split" in sys.argv:
+    # augmentation as its own dispatch (models/base.py 'device_augment_split'):
+    # the fused step + width-60 remap program is the isolated crash trigger
+    cfg["device_augment_split"] = True
+    print("augment split dispatch on", flush=True)
 if "--scan" in sys.argv:
     # the convergence runs' one-dispatch epoch scan (DetectorBase._train_scan);
     # the crashed RefineDet/PFPNetR runs are the only ones combining it with the

@@ -183,20 +183,26 @@ def model_specs():
                                     "top_k_results_output": 40}),
                            1e-3, 30000,
                            [(0.02, 0.1), (0.88, 1.0), (0.07, 0.1), (0.03, 0.01)]),
-        # host_feed + loss_sync_every 2: the RefineDet-family step crashes the
-        # tunneled TPU worker when ~24 per-step dispatches queue up asynchronously
-        # (crash always surfaces at the FIRST float(loss) sync); bounding the
-        # dispatch queue depth is the mitigation under test
+        # host_feed + gt_pad 24: the proven-safe RefineDet-family config (the
+        # bisect matrix in BASELINE.md isolates the TPU-worker crash to the fused
+        # width-60 flip-gt remap; pad 24 passes under every feed/NMS/scan variant,
+        # and is lossless for synthvoc's <=6 objects/image)
         "RefineDet320": ("tpudet.models.refinedet.RefineDet320", (320, 320),
                          _common({"batch_size": 32, "input_size": 320,
-                                  "host_feed": True, "loss_sync_every": 2,
-                                  "gt_pad": 24}),
+                                  "host_feed": True, "gt_pad": 24}),
                          5e-4, 5000, drop),
         "PFPNetR": ("tpudet.models.refinedet.PFPNetR", (320, 320),
                     _common({"batch_size": 32, "input_size": 320,
-                             "host_feed": True, "loss_sync_every": 2,
-                             "gt_pad": 24}),
+                             "host_feed": True, "gt_pad": 24}),
                     5e-4, 5000, drop),
+        # the FULL reference data contract (pad_truth_to 60, testrefinedet.py:22)
+        # with on-device augmentation, runnable via the split-dispatch workaround
+        # for the fused-program worker fault ('device_augment_split', base.py)
+        "RefineDet320-pad60": ("tpudet.models.refinedet.RefineDet320", (320, 320),
+                               _common({"batch_size": 32, "input_size": 320,
+                                        "host_feed": True,
+                                        "device_augment_split": True}),
+                               5e-4, 2500, drop),
         # host_feed: a 700x1100/800x1200 uint8 dataset is ~9-12 GB; the
         # device-resident gather path needs a layout copy of the whole dataset at
         # scan compile time (observed 18.45G > 15.75G HBM), so feed from host.
@@ -216,8 +222,7 @@ def model_specs():
                       1e-3, 12000, drop),
         "FCOS": ("tpudet.models.fcos.FCOS", (800, 1200),
                  _common({"batch_size": 8, "data_shape": [800, 1200, 3],
-                          "host_feed": True, "loss_sync_every": 2,
-                          "gt_pad": 24}),
+                          "host_feed": True, "gt_pad": 24}),
                  1e-3, 5000, drop),
     }
 
@@ -321,7 +326,11 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
         "mAP@0.5_voc07": round(float(mAP), 4),
         "per_class_AP": {str(k): round(float(v), 4) for k, v in sorted(aps.items())},
     }
-    with open(os.path.join(run_dir, "result.json"), "w") as f:
+    # Probe/smoke runs must not masquerade as convergence results: anything under
+    # 500 steps goes to probe_result.json so nothing aggregating runs/*/result.json
+    # can pick up a crash-bisect artifact as a real mAP (round-2 VERDICT weak #4).
+    fname = "result.json" if (done_steps >= 500 and not smoke) else "probe_result.json"
+    with open(os.path.join(run_dir, fname), "w") as f:
         json.dump(result, f, indent=1)
     print(f"[{name}] mAP@0.5 = {mAP:.4f}  ({done_steps} steps, "
           f"{result['train_imgs_per_sec']} imgs/s)", flush=True)

@@ -48,7 +48,7 @@ class TestDeviceDataset:
         assert bg.shape == (4, 6, 5)
 
 
-def _make_model(no_scan: bool, feeder):
+def _make_model(no_scan: bool, feeder, extra_cfg=None):
     from tpudet.models.yolo import YOLOv2
 
     cfg = {
@@ -62,9 +62,34 @@ def _make_model(no_scan: bool, feeder):
     }
     if no_scan:
         cfg["no_scan_epoch"] = True
+    cfg.update(extra_cfg or {})
     provider = {"data_shape": [64, 64, 3], "num_train": 24, "num_val": 0,
                 "train_generator": feeder, "val_generator": None}
     return YOLOv2(cfg, provider)
+
+
+@pytest.mark.slow
+def test_augment_split_dispatch_matches_fused():
+    """'device_augment_split' (the pad-60 RefineDet-fault workaround, models/base.py)
+    compiles the augmentation as its own program; from identical state it must
+    produce the same epoch as the fused step — both paths fold the same PRNG key
+    by global_step."""
+    images, gt = _tiny_data(n=16, pad=6)
+    gt = gt.copy()
+    gt[:, :, 4] = np.where(gt[:, :, 4] >= 0, gt[:, :, 4] % 3, -1)
+    aug = {"device_augment": {"flip_prob": [1.0, 1.0]}}  # deterministic flips
+
+    m_fused = _make_model(True, DeviceDataset(images, gt, batch=8, seed=5),
+                          extra_cfg=aug)
+    m_split = _make_model(True, DeviceDataset(images, gt, batch=8, seed=5),
+                          extra_cfg={**aug, "device_augment_split": True})
+    l_fused = m_fused.train_one_epoch(1e-3)
+    l_split = m_split.train_one_epoch(1e-3)
+    np.testing.assert_allclose(l_fused, l_split, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(m_fused.params),
+                    jax.tree.leaves(m_split.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
 
 
 @pytest.mark.slow

@@ -22,7 +22,9 @@ from tpudet.runtime import mesh as mesh_lib
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-from _dcn_worker import GLOBAL_BATCH, build_ssd64, fingerprint  # noqa: E402
+from _dcn_worker import (  # noqa: E402
+    GLOBAL_BATCH, SCAN_BATCH, SCAN_ITERS, build_ssd64, build_ssd64_feeder,
+    fingerprint, scan_dataset)
 
 
 def _free_port():
@@ -63,7 +65,9 @@ def test_two_process_dcn_matches_single_process(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # each worker compiles two SSD64 programs (host-feed step + distributed scan)
+    # and this 1-core host often runs a TPU convergence queue concurrently
+    outs = [p.communicate(timeout=3600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
@@ -86,3 +90,31 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     fp = dict(fingerprint(model.params)[:8])
     for name, val in results[0]["fingerprint"]:
         assert val == pytest.approx(fp[name], rel=5e-4), name
+
+    # 4) device-resident scan epoch: the 2-process distributed scan (one lax.scan
+    #    dispatch, per-device shard_map gathers — asserted inside the worker)
+    #    matches BOTH the single-process distributed scan and the distributed
+    #    per-step epoch on this parent's 8-device mesh. Per-device shuffle
+    #    streams are seeded by global device position, so all three layouts draw
+    #    identical batches.
+    from tpudet.data.device_dataset import DeviceDataset
+
+    assert results[0]["scan_loss"] == pytest.approx(results[1]["scan_loss"],
+                                                    rel=1e-6)
+    images, gt = scan_dataset()
+    losses, prints = [], []
+    for no_scan in (False, True):
+        feeder = DeviceDataset(images, gt, batch=SCAN_BATCH, seed=9)
+        m = build_ssd64_feeder(feeder, num_train=SCAN_ITERS * SCAN_BATCH,
+                               no_scan=no_scan)
+        feeder.distribute(m.mesh, m.device_batch)
+        losses.append(m.train_one_epoch(0.01))
+        prints.append(dict(fingerprint(m.params)[:8]))
+    # scan vs per-step equivalence (distributed gather feeds both paths)
+    assert losses[0] == pytest.approx(losses[1], rel=2e-5)
+    # 2-process scan vs single-process scan
+    assert results[0]["scan_loss"] == pytest.approx(losses[0], rel=2e-4)
+    for name, val in results[0]["scan_fingerprint"]:
+        assert val == pytest.approx(prints[0][name], rel=5e-4), name
+    for name, val in prints[1].items():
+        assert val == pytest.approx(prints[0][name], rel=5e-4), name

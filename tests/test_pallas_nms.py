@@ -33,6 +33,29 @@ def test_kernel_matches_oracle(seed):
         np.testing.assert_array_equal(got, want_global)
 
 
+def test_xbatch_matches_perimage_kernel():
+    """The cross-batch (lockstep) kernel must select exactly what the original
+    one-image-per-program kernel selects."""
+    from tpudet.ops.pallas.nms_kernel import _pallas_per_image
+
+    rng = np.random.default_rng(7)
+    b, n = 5, 300
+    yx = rng.uniform(0, 100, (b, n, 2))
+    hw = rng.uniform(5, 40, (b, n, 2))
+    boxes = np.concatenate([yx - hw / 2, yx + hw / 2], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (b, n)).astype(np.float32)
+    num_select = np.asarray([0, 3, 40, 300, 17], np.int32)
+
+    a = batched_greedy_nms_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(num_select), max_out=48,
+                                  iou_threshold=0.5, interpret=True)
+    p = _pallas_per_image(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(num_select), max_out=48,
+                          iou_threshold=0.5, interpret=True)
+    for got, want in zip(a, p):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_zero_area_boxes_terminate():
     # degenerate boxes must not be re-selected forever (NaN IoU guard)
     boxes = np.zeros((4, 4), np.float32)

@@ -91,6 +91,24 @@ def test_loss_scalar_parity_vs_running_reference():
         assert report["ok"], report
 
 
+def test_loss_scalar_parity_remaining_families():
+    """Round-3: the four loss families round 2 left oracle-only, now vs the
+    reference's ACTUAL train graphs — RetinaNet focal (RetinaNet.py:457-474),
+    CenterNet gaussian-splat + penalty-reduced focal (CenterNet.py:211-250), FCOS
+    IoU/centerness/heatmap (FCOS.py:311-347), and LH-RCNN's two-stage rpn+rcnn
+    scalars incl. the 128/256 sampling, crop_and_resize and the Q12 yx-target
+    quirk, with the RoI head running the reference's own dense weights
+    (LH_RCNN.py:299-442, 140-177)."""
+    pytest.importorskip("tensorflow")
+    sys.path.insert(0, "scripts")
+    import parity_loss
+
+    for fn in (parity_loss.compare_retinanet, parity_loss.compare_centernet,
+               parity_loss.compare_fcos, parity_loss.compare_lhrcnn):
+        report = fn()
+        assert report["ok"], report
+
+
 def test_yolov2_decode_box_for_box():
     """YOLOv2 single-head decode (quirk Q3, stride-32 passthrough) vs the running
     reference: identical head tensor -> identical detections."""

@@ -81,12 +81,6 @@ class TestMesh:
         m = mesh.data_mesh()
         assert m.shape["data"] == 8
 
-    def test_usable_dp(self):
-        m = mesh.data_mesh()
-        assert mesh.usable_data_parallelism(16, m) == 8
-        assert mesh.usable_data_parallelism(6, m) == 6
-        assert mesh.usable_data_parallelism(1, m) == 1
-
     def test_shard_and_replicate(self):
         m = mesh.data_mesh()
         x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)

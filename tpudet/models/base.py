@@ -184,10 +184,17 @@ class DetectorBase:
     def _compile(self):
         net, wd, optimizer = self.net, self.weight_decay, self._optimizer
         sample_weight = self._sample_weight()
+        # 'device_augment_split': compile the augmentation as its OWN dispatch
+        # instead of fusing it into the train step. Workaround for the axon/Mosaic
+        # worker fault triggered by the fused RefineDet-family step + width-60
+        # flip-gt remap (BASELINE.md bisect matrix): the two smaller programs
+        # compile and run where the fused one kills the TPU worker.
+        self._augment_split = bool(self.config.get("device_augment_split"))
 
         def forward_loss(params, bstats, images, gt, step):
             images = images.astype(jnp.float32)
-            images, gt = self._device_augment(images, gt, step)
+            if not self._augment_split:
+                images, gt = self._device_augment(images, gt, step)
             images = self._preprocess(images)
             outputs, mut = net.apply(
                 {"params": params, "batch_stats": bstats}, images, True,
@@ -208,27 +215,40 @@ class DetectorBase:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
             self._train_step_fn = train_step  # raw fn, reused by the scan path
             self._train_scan_cache = {}
+            if self._augment_split:
+                self._augment_fn = jax.jit(
+                    lambda im, g, s: self._device_augment(
+                        im.astype(jnp.float32), g, s))
 
         self._infer_cache = {}
         self._base_pre_topk = int(self.config.get("nms_pre_topk", 200))
 
-    def _train_scan(self, k: int):
-        """Jitted ``k``-step trainer for device-resident feeds: per iteration a
-        [B] index row gathers the batch from the HBM-resident dataset and runs one
+    def _train_scan(self, k: int, ds=None):
+        """Jitted ``k``-step trainer for device-resident feeds: per iteration an
+        index row gathers the batch from the HBM-resident dataset and runs one
         train step, all inside a single ``lax.scan`` dispatch. On a tunneled chip
         each dispatch costs a host round-trip (~100 ms); folding a 50-step chunk
         into one dispatch removes that cap (measured 111 -> ~bench-rate imgs/s on
-        the SSD300 convergence loop)."""
-        fn = self._train_scan_cache.get(k)
+        the SSD300 convergence loop). Distributed datasets (multi-device /
+        multi-host, DeviceDataset.distribute) gather each device's rows from its
+        own HBM shard via shard_map — the scan epoch composes with the
+        ('dcn', 'data') mesh instead of degrading to per-step dispatch."""
+        distributed = bool(ds is not None and getattr(ds, "distributed", False))
+        key = (k, distributed)
+        fn = self._train_scan_cache.get(key)
         if fn is None:
             step_fn = self._train_step_fn
+            if distributed:
+                gather = ds.make_gather()
+            else:
+                def gather(imgs, gts, idx_row):
+                    return jnp.take(imgs, idx_row, 0), jnp.take(gts, idx_row, 0)
 
             def scan_steps(params, bstats, opt_state, images_ds, gt_ds, idx, lr,
                            step0):
                 def body(carry, idx_row):
                     params, bstats, opt_state, step = carry
-                    images = jnp.take(images_ds, idx_row, 0)
-                    gt = jnp.take(gt_ds, idx_row, 0)
+                    images, gt = gather(images_ds, gt_ds, idx_row)
                     params, bstats, opt_state, loss = step_fn(
                         params, bstats, opt_state, images, gt, lr, step)
                     return (params, bstats, opt_state, step + 1), loss
@@ -237,7 +257,7 @@ class DetectorBase:
                     body, (params, bstats, opt_state, step0), idx)
                 return params, bstats, opt_state, losses
 
-            fn = self._train_scan_cache[k] = jax.jit(
+            fn = self._train_scan_cache[key] = jax.jit(
                 scan_steps, donate_argnums=(0, 1, 2))
         return fn
 
@@ -278,13 +298,17 @@ class DetectorBase:
         from tpudet.data.device_dataset import DeviceDataset
 
         ds = self.train_iterator
-        if (isinstance(ds, DeviceDataset) and num_iters > 1
-                and self.process_count == 1
-                and ds.batch == self.device_batch
-                and not self.config.get("no_scan_epoch")):
-            idx = jnp.asarray(ds.next_indices(num_iters))
+        want_scan = (isinstance(ds, DeviceDataset) and num_iters > 1
+                     and not self.config.get("no_scan_epoch")
+                     and not self._augment_split)  # split = separate dispatches
+        if want_scan and self.process_count > 1 and not ds.distributed:
+            # multi-host: shard the resident dataset over every device's HBM so
+            # the scanned epoch stays one dispatch per chunk at scale too
+            ds.distribute(self.mesh, self.device_batch)
+        if want_scan and ds.batch == self.device_batch:
+            idx = ds.scan_indices(num_iters)
             self.params, self.batch_stats, self.opt_state, losses = (
-                self._train_scan(num_iters)(
+                self._train_scan(num_iters, ds)(
                     self.params, self.batch_stats, self.opt_state, ds.images,
                     ds.gt, idx, jnp.float32(lr), jnp.int32(self.global_step)))
             self.global_step += num_iters
@@ -303,6 +327,9 @@ class DetectorBase:
         for i in range(num_iters):
             images, gt = next(self.train_iterator)
             images, gt = self._to_device(images, gt)
+            if self._augment_split and self.config.get("device_augment"):
+                images, gt = self._augment_fn(images, gt,
+                                              jnp.int32(self.global_step))
             self.params, self.batch_stats, self.opt_state, loss = self._train_step(
                 self.params, self.batch_stats, self.opt_state, images, gt,
                 jnp.float32(lr), jnp.int32(self.global_step),
@@ -326,10 +353,12 @@ class DetectorBase:
     def _to_device(self, images, gt):
         if isinstance(images, jax.Array):
             # device-resident feed (data.device_dataset.DeviceDataset): the batch
-            # was assembled ON device; nothing to transfer. Shapes must already
-            # match the local slice (no host-side padding possible here).
+            # was assembled ON device; nothing to transfer. Accepted shapes: the
+            # local slice (single-process put) or the full device batch (a
+            # distributed gather already yields the GLOBAL sharded array).
             local_db = self.device_batch // self.process_count
-            if self.mode == "train" and images.shape[0] != local_db:
+            if (self.mode == "train"
+                    and images.shape[0] not in (local_db, self.device_batch)):
                 raise ValueError(
                     f"device-resident batch is {images.shape[0]} rows; the mesh "
                     f"needs {local_db} — pad in the feeder")

@@ -83,6 +83,66 @@ def _kernel(ns_ref, sc_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
     jax.lax.while_loop(cond, body, (0, True))
 
 
+def _kernel_xb(sc_ref, ns_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
+               s, *, max_out: int, iou_threshold: float):
+    """Cross-batch variant: the whole [C]-image chunk advances TOGETHER — every
+    while-loop iteration picks/suppresses one box PER IMAGE (vectorized over the
+    chunk), so total sequential iterations are max-selections-per-image instead of
+    the per-image kernel's sum over the batch (measured 4.9 ms -> sub-ms for the
+    SSD mining pass, whose ~15 selections/image were pure iteration latency)."""
+    s[...] = sc_ref[...]
+    y1 = y1_ref[...]
+    x1 = x1_ref[...]
+    y2 = y2_ref[...]
+    x2 = x2_ref[...]
+    area = (y2 - y1) * (x2 - x1)
+    c, r, lanes = s.shape
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (c, r, lanes), 1) * lanes
+           + jax.lax.broadcasted_iota(jnp.int32, (c, r, lanes), 2))
+    n_sel = jnp.minimum(ns_ref[...][:, 0:1], max_out)  # [C, 1]
+    sel_ref[...] = jnp.zeros((c, max_out), jnp.int32)
+    val_ref[...] = jnp.zeros((c, max_out), jnp.int32)
+
+    def _rmin(t):
+        return jnp.min(jnp.min(t, axis=2, keepdims=True), axis=1, keepdims=True)
+
+    def _rmax(t):
+        return jnp.max(jnp.max(t, axis=2, keepdims=True), axis=1, keepdims=True)
+
+    def _rsum(t):
+        return jnp.sum(jnp.sum(t, axis=2, keepdims=True), axis=1, keepdims=True)
+
+    def cond(carry):
+        k, cont = carry
+        return jnp.logical_and(k < max_out, cont)
+
+    def body(carry):
+        k, _ = carry
+        vals = s[...]
+        best = _rmax(vals)                                        # [C,1,1]
+        j = _rmin(jnp.where(vals == best, lin, _BIG_IDX))         # [C,1,1]
+        active = jnp.logical_and(k < n_sel[:, :, None], best > _NEG / 2)
+        onehot = (lin == j).astype(jnp.float32)
+        by1 = _rsum(y1 * onehot)
+        bx1 = _rsum(x1 * onehot)
+        by2 = _rsum(y2 * onehot)
+        bx2 = _rsum(x2 * onehot)
+        inter = (jnp.maximum(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0.0)
+                 * jnp.maximum(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0.0))
+        barea = (by2 - by1) * (bx2 - bx1)
+        iou = inter / (area + barea - inter)
+        kill = jnp.logical_and(active,
+                               jnp.logical_or(iou > iou_threshold, lin == j))
+        s[...] = jnp.where(kill, _NEG, vals)
+        ok2 = active[:, :, 0]                                     # [C,1] bool
+        j2 = j[:, :, 0]
+        sel_ref[:, pl.dslice(k, 1)] = jnp.where(ok2, j2, 0)
+        val_ref[:, pl.dslice(k, 1)] = ok2.astype(jnp.int32)
+        return k + 1, jnp.any(active)
+
+    jax.lax.while_loop(cond, body, (0, True))
+
+
 @functools.partial(jax.jit, static_argnames=("max_out", "iou_threshold", "interpret"))
 def batched_greedy_nms_pallas(boxes, scores, num_select, max_out: int,
                               iou_threshold: float, interpret: bool = False):
@@ -90,7 +150,55 @@ def batched_greedy_nms_pallas(boxes, scores, num_select, max_out: int,
     entries pre-masked to <= -1e30; num_select [B] int32.
 
     Returns (sel_idx [B, max_out] int32, valid [B, max_out] bool).
+
+    Dispatches to the cross-batch kernel (images advance in lockstep, chunked to a
+    VMEM budget); set TPUDET_NMS_KERNEL=perimage for the original one-image-per-
+    grid-program kernel.
     """
+    import os
+
+    if os.environ.get("TPUDET_NMS_KERNEL", "").lower() != "perimage":
+        b, n = scores.shape
+        r = -(-n // 128)
+        n_pad = r * 128
+        pad = n_pad - n
+        # chunk the batch to ~8 MB of live VMEM (≈10 [C, r, 128] f32 arrays),
+        # sized so the padded batch is minimal
+        chunk_max = int(max(1, (8 * 2 ** 20) // (10 * r * 128 * 4)))
+        grid = -(-b // min(b, chunk_max))
+        chunk = -(-b // grid)
+        b_pad = grid * chunk
+        scores = jnp.pad(scores.astype(jnp.float32),
+                         ((0, b_pad - b), (0, pad)), constant_values=_NEG)
+        scores = scores.reshape(b_pad, r, 128)
+        ns = jnp.pad(num_select.astype(jnp.int32), (0, b_pad - b))
+        ns_bcast = jnp.broadcast_to(ns[:, None], (b_pad, 128))
+        if boxes.ndim == 2:
+            boxes = jnp.broadcast_to(boxes[None], (b, n, 4))
+        boxes = jnp.pad(boxes.astype(jnp.float32),
+                        ((0, b_pad - b), (0, pad), (0, 0)))
+        planes = [boxes[:, :, i].reshape(b_pad, r, 128) for i in range(4)]
+        kernel = functools.partial(_kernel_xb, max_out=max_out,
+                                   iou_threshold=iou_threshold)
+        sel, val = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((chunk, r, 128), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((chunk, 128), lambda i: (i, 0))]
+                     + [pl.BlockSpec((chunk, r, 128), lambda i: (i, 0, 0))] * 4,
+            out_specs=[pl.BlockSpec((chunk, max_out), lambda i: (i, 0))] * 2,
+            out_shape=[jax.ShapeDtypeStruct((b_pad, max_out), jnp.int32)] * 2,
+            scratch_shapes=[pltpu.VMEM((chunk, r, 128), jnp.float32)],
+            interpret=interpret,
+        )(scores, ns_bcast, *planes)
+        return sel[:b], val[:b] > 0
+    return _pallas_per_image(boxes, scores, num_select, max_out, iou_threshold,
+                             interpret)
+
+
+def _pallas_per_image(boxes, scores, num_select, max_out: int,
+                      iou_threshold: float, interpret: bool = False):
+    """Original kernel: one grid program per image (kept for A/B comparison)."""
     b, n = scores.shape
     r = -(-n // 128)
     n_pad = r * 128

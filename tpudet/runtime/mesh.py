@@ -61,14 +61,6 @@ def data_parallel_size(mesh: Mesh) -> int:
     return int(np.prod([mesh.shape[a] for a in batch_axes(mesh)]))
 
 
-def usable_data_parallelism(batch_size: int, mesh: Mesh) -> int:
-    """Largest device count along 'data' that evenly divides the batch."""
-    n = mesh.shape[DATA_AXIS]
-    while batch_size % n:
-        n -= 1
-    return n
-
-
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data-parallel axes."""
     return NamedSharding(mesh, P(batch_axes(mesh)))
