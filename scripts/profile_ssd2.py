@@ -202,6 +202,30 @@ print(f"loss breakdown: total {1e3*t_l:.2f} | -NMS {1e3*t_ln:.2f} | "
       f"-NMS-IoU {1e3*t_li:.2f} | -NMS-scatter {1e3*t_ls:.2f} | "
       f"-all {1e3*t_la:.2f}", flush=True)
 
+# ------------------------------------------------- gather-lowering A/B
+# matching.GATHER_IMPL drives how the assignment's row gathers lower (one-hot
+# MXU matmuls vs dynamic gathers); re-trace loss and full grad under each.
+from tpudet.ops import matching as matching_mod  # noqa: E402
+
+for impl in ("onehot", "take"):
+    matching_mod.GATHER_IMPL = impl
+
+    @jax.jit
+    def loss_ab(outs, g):
+        return model._loss_from_outputs(outs, g, None)
+
+    @jax.jit
+    def grad_ab(params, bstats, x, g):
+        def f(p):
+            outs, _ = net.apply({"params": p, "batch_stats": bstats},
+                                preprocess(x), True, mutable=["batch_stats"])
+            return model._loss_from_outputs(outs, g, None)
+        return jax.grad(f)(params)
+
+    timeit(f"loss only [{impl}]", loss_ab, head_outs, dev_gt)
+    timeit(f"grad net+loss [{impl}]", grad_ab, params, bstats, dev_images, dev_gt)
+matching_mod.GATHER_IMPL = "onehot"
+
 for name, fn, args in [("fwd_eval", fwd_eval, (params, bstats, dev_images)),
                        ("grad_full", grad_full,
                         (params, bstats, dev_images, dev_gt)),

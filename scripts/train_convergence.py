@@ -15,6 +15,7 @@ Usage:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import queue
@@ -280,9 +281,29 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
 
     # staircase schedule in chunks so the curve gets sampled and lr can step
     chunk = 50 if not smoke else 30
-    t0 = time.time()
+    ckpt_every = 500  # steps between periodic saves: a TPU/tunnel stall late in
+    t0 = time.time()  # a run must not cost the whole run (--eval-only salvages)
     done_steps = 0
+    last_ckpt = 0
     curve = open(curve_path, "w")
+
+    # Stall watchdog: a wedged TPU tunnel blocks the dispatch forever (observed
+    # round 2/3: process sleeping at 0% CPU, curve frozen). Exit fast so the
+    # queue's next run gets the (recovered) chip and --eval-only can salvage the
+    # periodic ckpt. Armed only after the first chunk (compile can take 15 min).
+    progress = {"t": None, "armed": False}
+    stall_limit = float(os.environ.get("STALL_LIMIT_S", 1800))
+
+    def _watchdog():
+        while True:
+            time.sleep(60)
+            if progress["armed"] and time.time() - progress["t"] > stall_limit:
+                print(f"[{name}] STALLED: no chunk finished in {stall_limit:.0f}s"
+                      f" at step {done_steps}; exiting (salvage via --eval-only)",
+                      flush=True)
+                os._exit(93)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     for frac, mult in schedule:
         seg_steps = max(1, int(round(total_steps * frac)))
         lr = base_lr * mult
@@ -292,6 +313,8 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
             mean_loss = model.train_one_epoch(lr)
             done_steps += this
             seg_steps -= this
+            progress["t"] = time.time()
+            progress["armed"] = True
             rec = {"step": done_steps, "lr": lr,
                    "mean_loss": round(float(mean_loss), 5),
                    "imgs_per_sec": round(done_steps * batch / (time.time() - t0), 1),
@@ -303,10 +326,22 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
                 feeder.close()
                 curve.close()
                 return {"model": name, "diverged_at": done_steps}
+            if done_steps - last_ckpt >= ckpt_every:
+                old = set(glob.glob(os.path.join(run_dir, "ckpt-*")))
+                model.save_weight("latest", os.path.join(run_dir, "ckpt"))
+                with open(os.path.join(run_dir, "ckpt_meta.json"), "w") as f:
+                    json.dump({"steps": done_steps,
+                               "elapsed_s": round(time.time() - t0, 1)}, f)
+                last_ckpt = done_steps
+                for p in old:  # keep only the newest periodic ckpt
+                    os.unlink(p)
     curve.close()
+    progress["armed"] = False  # eval pace varies; ckpt already safe on disk
     train_secs = time.time() - t0
     feeder.close()
     model.save_weight("latest", os.path.join(run_dir, "ckpt"))
+    with open(os.path.join(run_dir, "ckpt_meta.json"), "w") as f:
+        json.dump({"steps": done_steps, "elapsed_s": round(train_secs, 1)}, f)
 
     print(f"\n[{name}] trained {done_steps} steps in {train_secs:.0f}s; "
           f"evaluating ...", flush=True)
@@ -337,6 +372,44 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
     return result
 
 
+def eval_from_checkpoint(name: str):
+    """Salvage path: evaluate the latest periodic checkpoint of an interrupted
+    run (TPU/tunnel stalls can kill a run after hours of training; the periodic
+    ckpt + this mode turn that into a result instead of a rerun)."""
+    spec = model_specs()[name]
+    cls_path, (h, w), config, base_lr, total_steps, schedule = spec
+    run_dir = os.path.join(RUNS_ROOT, name)
+    meta = json.load(open(os.path.join(run_dir, "ckpt_meta.json")))
+    d = synthvoc.build(DATA_ROOT, h, w)
+    batch = config["batch_size"]
+    for k in ("gt_pad", "host_feed"):
+        config.pop(k, None)
+    provider = {"data_shape": [h, w, 3], "num_train": batch, "num_val": 0,
+                "train_generator": iter(()), "val_generator": None}
+    model = _load_class(cls_path)(config, provider)
+    model.load_weight(os.path.join(run_dir, "ckpt"))  # resolves highest step
+    from tpudet.runtime import evaluate
+
+    records = list(synthvoc.test_records(d))[:synthvoc.N_TEST]
+    t1 = time.time()
+    mAP, aps = evaluate.evaluate_model(model, records)
+    result = {
+        "model": name, "steps": meta["steps"], "batch": batch,
+        "input": [h, w], "base_lr": base_lr,
+        "train_seconds": meta.get("elapsed_s"),
+        "note": "evaluated from periodic checkpoint (run interrupted)",
+        "eval_images": len(records), "eval_seconds": round(time.time() - t1, 1),
+        "mAP@0.5_voc07": round(float(mAP), 4),
+        "per_class_AP": {str(k): round(float(v), 4) for k, v in sorted(aps.items())},
+    }
+    fname = "result.json" if meta["steps"] >= 500 else "probe_result.json"
+    with open(os.path.join(run_dir, fname), "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[{name}] mAP@0.5 = {mAP:.4f}  (ckpt @ {meta['steps']} steps)",
+          flush=True)
+    return result
+
+
 ALL = ["SSD300", "YOLOv3", "SSD512", "YOLOv2", "RetinaNet", "RefineDet320",
        "PFPNetR", "CenterNet", "FCOS", "LHRCNN"]
 
@@ -352,6 +425,9 @@ def main():
     results = []
     for name in names:
         try:
+            if "--eval-only" in sys.argv:
+                results.append(eval_from_checkpoint(name))
+                continue
             results.append(run_model(name, steps_scale=scale, smoke=smoke))
         except Exception as e:  # keep the queue going; record the failure
             import traceback
