@@ -102,6 +102,11 @@ def _kernel_xb(sc_ref, ns_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
     n_sel = jnp.minimum(ns_ref[...][:, 0:1], max_out)  # [C, 1]
     sel_ref[...] = jnp.zeros((c, max_out), jnp.int32)
     val_ref[...] = jnp.zeros((c, max_out), jnp.int32)
+    # column-index plane for the one-hot output writes below (Mosaic cannot
+    # prove a dynamic lane-dim store `ref[:, dslice(k, 1)]` is 128-aligned, so
+    # each pick rewrites the whole [C, max_out] tile through a lane mask — a
+    # few KB of VPU work per iteration)
+    kio = jax.lax.broadcasted_iota(jnp.int32, (c, max_out), 1)
 
     def _rmin(t):
         return jnp.min(jnp.min(t, axis=2, keepdims=True), axis=1, keepdims=True)
@@ -136,8 +141,11 @@ def _kernel_xb(sc_ref, ns_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
         s[...] = jnp.where(kill, _NEG, vals)
         ok2 = active[:, :, 0]                                     # [C,1] bool
         j2 = j[:, :, 0]
-        sel_ref[:, pl.dslice(k, 1)] = jnp.where(ok2, j2, 0)
-        val_ref[:, pl.dslice(k, 1)] = ok2.astype(jnp.int32)
+        at_k = kio == k                                           # [C, max_out]
+        sel_ref[...] = jnp.where(jnp.logical_and(at_k, ok2),
+                                 j2, sel_ref[...])
+        val_ref[...] = jnp.where(jnp.logical_and(at_k, ok2),
+                                 1, val_ref[...])
         return k + 1, jnp.any(active)
 
     jax.lax.while_loop(cond, body, (0, True))
