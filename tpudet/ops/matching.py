@@ -80,10 +80,14 @@ def scatter_best_mask(best_idx: jnp.ndarray, gt_valid: jnp.ndarray, num_anchors:
     """``[A]`` bool — anchors claimed as some valid gt's best anchor.
 
     Replaces the reference's ``tf.unique`` + sort + SparseTensor->dense trick
-    (SSD300.py:385-390) with a scatter.
+    (SSD300.py:385-390). Computed as a one-hot comparison plane reduced over G
+    rather than a scatter: TPU lowers the [G] scatter into a serialized loop,
+    while the [G, A] compare+reduce is one VPU pass of the same magnitude as the
+    IoU matrix every caller has already built.
     """
-    hits = jnp.zeros((num_anchors,), jnp.int32).at[best_idx].add(gt_valid.astype(jnp.int32))
-    return hits > 0
+    onehot = best_idx[:, None] == jnp.arange(num_anchors, dtype=best_idx.dtype)[None, :]
+    hit = jnp.logical_and(onehot, gt_valid[:, None])
+    return jnp.any(hit, axis=0)
 
 
 def best_gt_per_anchor(iou: jnp.ndarray, gt_valid: jnp.ndarray):
