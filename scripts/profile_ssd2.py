@@ -138,6 +138,16 @@ def _make_ablated(ablate):
     def fake_scatter(best_anchor, valid, a):
         return jnp.zeros((a,), bool)
 
+    def fake_assign(gy1, gy2, gv, ay1, ay2):
+        b, g = gv.shape
+        a = ay1.shape[-2]
+        return matching.Assignment(
+            jnp.zeros((b, g), jnp.int32),
+            jnp.broadcast_to((jnp.arange(a) % 17).astype(jnp.float32) / 20.0,
+                             (b, a)),
+            jnp.zeros((b, a), jnp.int32),
+            jnp.zeros((b, a), bool))
+
     def fake_nms(boxes, scores, num_select, max_out, iou_threshold, active=None):
         b = scores.shape[0]
         idx = jnp.broadcast_to(jnp.arange(max_out, dtype=jnp.int32)[None],
@@ -150,6 +160,8 @@ def _make_ablated(ablate):
     if "scatter" in ablate:
         patches.append(mock.patch.object(matching, "scatter_best_mask",
                                          fake_scatter))
+    if "assign" in ablate:
+        patches.append(mock.patch.object(matching, "assign_batch", fake_assign))
     if "nms" in ablate:
         patches.append(mock.patch.object(nms_mod, "batched_greedy_nms", fake_nms))
 
@@ -192,6 +204,10 @@ t_ls = timeit("loss only (NMS+scatter ablated)", _make_ablated(("nms", "scatter"
               head_outs, dev_gt)
 t_la = timeit("loss only (all ablated)", _make_ablated(("nms", "iou", "scatter")),
               head_outs, dev_gt)
+t_lassign = timeit("loss only (assign ablated)", _make_ablated(("assign",)),
+                   head_outs, dev_gt)
+t_lan = timeit("loss only (assign+NMS ablated)",
+               _make_ablated(("assign", "nms")), head_outs, dev_gt)
 o2 = jax.tree.map(lambda a: a + 0, model.opt_state)
 t_o = timeit("optimizer update + wd L2", opt_only, params, o2, grads0)
 
@@ -202,13 +218,10 @@ print(f"loss breakdown: total {1e3*t_l:.2f} | -NMS {1e3*t_ln:.2f} | "
       f"-NMS-IoU {1e3*t_li:.2f} | -NMS-scatter {1e3*t_ls:.2f} | "
       f"-all {1e3*t_la:.2f}", flush=True)
 
-# ------------------------------------------------- gather-lowering A/B
-# matching.GATHER_IMPL drives how the assignment's row gathers lower (one-hot
-# MXU matmuls vs dynamic gathers); re-trace loss and full grad under each.
-from tpudet.ops import matching as matching_mod  # noqa: E402
-
-for impl in ("onehot", "take"):
-    matching_mod.GATHER_IMPL = impl
+# ------------------------------------------------- assignment-impl A/B
+# the Pallas assignment kernel vs the vmapped XLA formulation, loss and full grad
+for impl in ("pallas", "xla"):
+    os.environ["TPUDET_ASSIGN_IMPL"] = impl
 
     @jax.jit
     def loss_ab(outs, g):
@@ -222,9 +235,10 @@ for impl in ("onehot", "take"):
             return model._loss_from_outputs(outs, g, None)
         return jax.grad(f)(params)
 
-    timeit(f"loss only [{impl}]", loss_ab, head_outs, dev_gt)
-    timeit(f"grad net+loss [{impl}]", grad_ab, params, bstats, dev_images, dev_gt)
-matching_mod.GATHER_IMPL = "onehot"
+    timeit(f"loss only [assign={impl}]", loss_ab, head_outs, dev_gt)
+    timeit(f"grad net+loss [assign={impl}]", grad_ab, params, bstats,
+           dev_images, dev_gt)
+os.environ.pop("TPUDET_ASSIGN_IMPL", None)
 
 for name, fn, args in [("fwd_eval", fwd_eval, (params, bstats, dev_images)),
                        ("grad_full", grad_full,

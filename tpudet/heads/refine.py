@@ -259,21 +259,18 @@ def flatten_preds(arms, odms, num_classes_total: int):
 
 
 def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
-                 anc: AnchorSet, gt, num_classes_total: int):
-    """Per-image matching terms minus the hard-negative NMS (which runs batched —
-    Pallas on TPU — outside the vmap). Returns (pos_loss, neg_arm_ce [A], neg [A],
-    chosen, arm_bg_logit [A], odm_bg_ce [A])."""
+                 anc: AnchorSet, gt, assign, num_classes_total: int):
+    """Per-image matching terms on the PRE-COMPUTED assignment (one batched
+    Pallas program on TPU — matching.assign_batch), minus the hard-negative NMS
+    (which also runs batched outside the vmap). Returns (pos_loss,
+    neg_arm_ce [A], neg [A], chosen, arm_bg_logit [A], odm_bg_ce [A])."""
     g = matching.unpack_gt(gt)
-    a = anc.y1x1.shape[0]
-    iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)
+    best_anchor, max_agiou, rg, best_set = assign
     arm_lp = loss_ops.log_softmax(arm_conf)
     odm_lp = loss_ops.log_softmax(odm_conf)
 
-    best_anchor = matching.best_anchor_per_gt(iou)
     vmask = g.valid.astype(jnp.float32)
-    best_set = matching.scatter_best_mask(best_anchor, g.valid, a)
     other = jnp.logical_not(best_set)
-    max_agiou, rg = matching.best_gt_per_anchor(iou, g.valid)
     pos = jnp.logical_and(other, max_agiou > 0.5)
     neg = jnp.logical_and(other, max_agiou < 0.4)
     pos_f = pos.astype(jnp.float32)
@@ -329,10 +326,16 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
 def refine_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,
                 gt, num_classes_total: int, neg_sel_cap: int = 384,
                 sample_weight=None):
+    gt_y1x1, gt_y2x2 = box_ops.center_to_corners(gt[..., 0:2], gt[..., 2:4])
+    gt_valid = jax.vmap(
+        lambda t: jnp.arange(t.shape[0], dtype=jnp.int32)
+        < matching.valid_gt_count(t))(gt)
+    assign = matching.assign_batch(gt_y1x1, gt_y2x2, gt_valid,
+                                   anc.y1x1, anc.y2x2)
     (pos_loss, neg_arm_ce, neg, chosen, arm_bg_logit, odm_bg_ce) = jax.vmap(
-        lambda ay, ah, ac, oy, oh, oc, g: _image_terms(
-            ay, ah, ac, oy, oh, oc, anc, g, num_classes_total)
-    )(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, gt)
+        lambda ay, ah, ac, oy, oh, oc, g, asg: _image_terms(
+            ay, ah, ac, oy, oh, oc, anc, g, asg, num_classes_total)
+    )(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, gt, assign)
     anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
     sel, sel_valid = nms.batched_greedy_nms(
         anc_corners, neg_arm_ce, chosen, neg_sel_cap, 0.7, active=neg)

@@ -102,13 +102,12 @@ def _focal_rowwise(pconf, labels, alpha, gamma):
     return -alpha * jnp.power(1.0 - p, gamma) * jnp.log(p)
 
 
-def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
-                alpha: float, gamma: float):
+def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, assign,
+                num_classes_total: int, alpha: float, gamma: float):
     g = matching.unpack_gt(gt)
     a = anc.y1x1.shape[0]
-    iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)
+    best_anchor, best_agiou, rg, best_set = assign
 
-    best_anchor = matching.best_anchor_per_gt(iou)
     vmask = g.valid.astype(jnp.float32)
     best_focal = _focal_rowwise(pconf[best_anchor], g.label, alpha, gamma)
     t_yx, t_hw = box_ops.encode(g.yx, jnp.maximum(g.hw, 1e-8),
@@ -116,9 +115,7 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
     best_coord = (jnp.sum(loss_ops.smooth_l1(pyx[best_anchor] - t_yx), -1)
                   + jnp.sum(loss_ops.smooth_l1(phw[best_anchor] - t_hw), -1))
 
-    best_set = matching.scatter_best_mask(best_anchor, g.valid, a)
     other = jnp.logical_not(best_set)
-    best_agiou, rg = matching.best_gt_per_anchor(iou, g.valid)
     pos = jnp.logical_and(other, best_agiou > 0.5)
     neg = jnp.logical_and(other, best_agiou < 0.4)
     pos_f = pos.astype(jnp.float32)
@@ -142,7 +139,14 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int,
 
 def retina_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
                 alpha: float, gamma: float, sample_weight=None):
+    gt_y1x1, gt_y2x2 = box_ops.center_to_corners(gt[..., 0:2], gt[..., 2:4])
+    gt_valid = jax.vmap(
+        lambda t: jnp.arange(t.shape[0], dtype=jnp.int32)
+        < matching.valid_gt_count(t))(gt)
+    assign = matching.assign_batch(gt_y1x1, gt_y2x2, gt_valid,
+                                   anc.y1x1, anc.y2x2)
     per_image = jax.vmap(
-        lambda y, h, c, g: _image_loss(y, h, c, anc, g, num_classes_total, alpha, gamma)
-    )(pyx, phw, pconf, gt)
+        lambda y, h, c, g, asg: _image_loss(y, h, c, anc, g, asg,
+                                            num_classes_total, alpha, gamma)
+    )(pyx, phw, pconf, gt, assign)
     return loss_ops.weighted_mean(per_image, sample_weight)

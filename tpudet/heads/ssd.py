@@ -107,17 +107,16 @@ def flatten_preds(preds, num_classes_total: int):
             jnp.concatenate(hws, 1).astype(jnp.float32))
 
 
-def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int):
-    """Per-image SSD matching terms (SSD300.py:345-453) minus the hard-negative NMS,
-    which runs batched (Pallas on TPU) outside the vmap. Returns
+def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, assign, num_classes_total: int):
+    """Per-image SSD matching terms (SSD300.py:345-453) on the PRE-COMPUTED
+    assignment (one batched Pallas program on TPU — matching.assign_batch);
+    the hard-negative NMS also runs batched outside the vmap. Returns
     (pos_loss, neg_ce [A], neg_mask [A], chosen_num_neg)."""
     g = matching.unpack_gt(gt)
-    a = anc.y1x1.shape[0]
-    iou = matching.masked_iou_matrix(g, anc.y1x1, anc.y2x2)  # [G, A]
+    best_anchor, best_agiou, rg, best_set = assign
     log_probs = loss_ops.log_softmax(pconf)  # one softmax serves all three CE terms
 
     # --- best-anchor-per-gt rows (forced positives, duplicates kept) ---
-    best_anchor = matching.best_anchor_per_gt(iou)  # [G]
     best_ce = loss_ops.ce_from_log_probs(log_probs[best_anchor], g.label)
     t_yx, t_hw = box_ops.encode(g.yx, jnp.maximum(g.hw, 1e-8),
                                 anc.yx[best_anchor], anc.hw[best_anchor])
@@ -128,9 +127,7 @@ def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, num_classes_total: int):
     vmask = g.valid.astype(jnp.float32)
 
     # --- other anchors: IoU > 0.5 positives / negatives ---
-    best_set = matching.scatter_best_mask(best_anchor, g.valid, a)
     other = jnp.logical_not(best_set)
-    best_agiou, rg = matching.best_gt_per_anchor(iou, g.valid)
     pos_other = jnp.logical_and(other, best_agiou > 0.5)
     neg = jnp.logical_and(other, jnp.logical_not(pos_other))
 
@@ -168,9 +165,16 @@ def ssd_loss(pconf, pyx, phw, anc: AnchorSet, gt, num_classes_total: int,
     beyond the cap are dropped, so for exact loss parity it must be >= 3*num_pos
     of the densest image. 384 covers typical VOC images (tens of positives);
     raise via config key 'hard_neg_cap' for crowded scenes."""
+    gt_y1x1, gt_y2x2 = box_ops.center_to_corners(gt[..., 0:2], gt[..., 2:4])
+    gt_valid = jax.vmap(
+        lambda t: jnp.arange(t.shape[0], dtype=jnp.int32)
+        < matching.valid_gt_count(t))(gt)
+    assign = matching.assign_batch(gt_y1x1, gt_y2x2, gt_valid,
+                                   anc.y1x1, anc.y2x2)
     pos_loss, neg_ce, neg, chosen = jax.vmap(
-        lambda y, h, c, g: _image_terms(y, h, c, anc, g, num_classes_total)
-    )(pyx, phw, pconf, gt)
+        lambda y, h, c, g, asg: _image_terms(y, h, c, anc, g, asg,
+                                             num_classes_total)
+    )(pyx, phw, pconf, gt, assign)
     anc_corners = jnp.concatenate([anc.y1x1, anc.y2x2], -1)
     sel, sel_valid = nms.batched_greedy_nms(
         anc_corners, neg_ce, chosen, neg_sel_cap, 0.7, active=neg)

@@ -204,6 +204,48 @@ def batched_greedy_nms_pallas(boxes, scores, num_select, max_out: int,
                              interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("max_out", "iou_threshold", "interpret"))
+def batched_greedy_nms_pretopk(boxes, scores, num_select, max_out: int,
+                               iou_threshold: float, interpret: bool = False):
+    """Pre-top-k pool in front of the cross-batch kernel.
+
+    Greedy NMS only ever selects in descending score order, so restricting the
+    kernel to the top ``pool`` candidates per image is EXACT unless a run
+    consumes its whole pool (picked + suppressed == pool) before filling its
+    quota while more active candidates existed outside the pool. That rare case
+    falls back to the full-width kernel for the whole batch (one ``lax.cond``).
+
+    Payoff: the VMEM working set shrinks ~N/pool-fold, so the whole batch
+    advances in ONE grid program and each select/suppress iteration moves KBs
+    instead of MBs (the mining NMS was 6.1 ms of the SSD300 train step at
+    N=8828 — scripts/profile_ssd2.py, .convergence/queue7.log).
+    """
+    n = scores.shape[-1]
+    pool = max(2 * max_out, 512)
+    if n <= pool:
+        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
+                                         iou_threshold, interpret)
+    scores = scores.astype(jnp.float32)
+    top_s, top_i = jax.lax.top_k(scores, pool)                    # [B, pool]
+    if boxes.ndim == 2:
+        top_b = boxes[top_i]                                      # [B, pool, 4]
+    else:
+        top_b = jnp.take_along_axis(boxes, top_i[..., None], 1)
+    sel_p, val = batched_greedy_nms_pallas(top_b, top_s, num_select, max_out,
+                                           iou_threshold, interpret)
+    n_active = jnp.sum(scores > _NEG / 2, -1)                     # [B]
+    quota = jnp.minimum(jnp.minimum(num_select, max_out), n_active)
+    pool_exhausted = jnp.sum(val.astype(jnp.int32), -1) < quota
+    inexact = jnp.any(jnp.logical_and(pool_exhausted, n_active > pool))
+    sel_g = jnp.where(val, jnp.take_along_axis(top_i, sel_p, 1), 0)
+
+    def _full(_):
+        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
+                                         iou_threshold, interpret)
+
+    return jax.lax.cond(inexact, _full, lambda _: (sel_g, val), 0)
+
+
 def _pallas_per_image(boxes, scores, num_select, max_out: int,
                       iou_threshold: float, interpret: bool = False):
     """Original kernel: one grid program per image (kept for A/B comparison)."""
