@@ -37,7 +37,7 @@ conv() {  # one convergence run + checkpoint-salvage eval if it stalled/died
 }
 
 T=1800 run python scripts/smoke_kernels_tpu.py
-if ! tail -3 "$LOG" | grep -q "rc=0"; then
+if ! grep -q "SMOKE OK" "$LOG"; then
   # kernel smoke failed: pin the proven XLA paths for everything downstream
   echo "=== kernel smoke FAILED; forcing XLA impls ===" >> "$LOG"
   export TPUDET_ASSIGN_IMPL=xla TPUDET_NMS_IMPL=xla

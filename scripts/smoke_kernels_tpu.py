@@ -68,8 +68,12 @@ def main():
     want = nms.batched_greedy_nms(boxes, scores_m, ns, 384, 0.7)
     want = jax.tree.map(np.asarray, want)
     os.environ.pop("TPUDET_NMS_IMPL")
-    for name, gv_, wv_ in zip(("sel", "valid"), got, want):
-        np.testing.assert_array_equal(gv_, wv_, err_msg=name)
+    # compare the SEMANTIC output: valid masks exactly, selections only at valid
+    # slots (the XLA loop leaves repeated-garbage indices at invalid slots, the
+    # kernels write 0 — every caller masks by `valid`)
+    np.testing.assert_array_equal(got[1], want[1], err_msg="valid")
+    np.testing.assert_array_equal(np.where(got[1], got[0], 0),
+                                  np.where(want[1], want[0], 0), err_msg="sel")
     print(f"pre-top-k NMS: bit-exact vs XLA at [B={b}, N={a}] "
           f"({time.time()-t0:.1f}s incl. compile)", flush=True)
 
