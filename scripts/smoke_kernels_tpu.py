@@ -1,7 +1,7 @@
 """Hardware smoke for BOTH Pallas kernels vs their XLA formulations.
 
 Runs the batched assignment kernel (ops/pallas/assign_kernel.py) and the
-batched mining NMS (ops/pallas/nms_kernel.py) on the real TPU at training
+pre-top-k mining NMS (ops/pallas/nms_kernel.py) on the real TPU at training
 shapes and asserts bit-identical results against the vmapped XLA paths
 (TPUDET_ASSIGN_IMPL / TPUDET_NMS_IMPL escape hatches). Seconds of chip time;
 run before queueing convergence runs that depend on the kernels.
@@ -54,7 +54,7 @@ def main():
     print(f"assign kernel: bit-exact vs XLA at [B={b}, G={g}, A={a}] "
           f"({time.time()-t0:.1f}s incl. compile)", flush=True)
 
-    # ------------------------------------------------ batched mining NMS
+    # ------------------------------------------------ pre-top-k mining NMS
     t0 = time.time()
     boxes = jnp.concatenate([ay1, ay2], -1)
     scores = rng.uniform(0, 1, (b, a)).astype(np.float32)
@@ -74,7 +74,7 @@ def main():
     np.testing.assert_array_equal(got[1], want[1], err_msg="valid")
     np.testing.assert_array_equal(np.where(got[1], got[0], 0),
                                   np.where(want[1], want[0], 0), err_msg="sel")
-    print(f"mining NMS: bit-exact vs XLA at [B={b}, N={a}] "
+    print(f"pre-top-k NMS: bit-exact vs XLA at [B={b}, N={a}] "
           f"({time.time()-t0:.1f}s incl. compile)", flush=True)
 
     # quick timing (steady state, scalar-fetch sync)
@@ -96,7 +96,7 @@ def main():
     for _ in range(20):
         r = f_nms(boxes, scores_m, ns)
     float(jnp.sum(r[0]))
-    print(f"mining NMS steady: {(time.time()-t0)/20*1e3:.2f} ms", flush=True)
+    print(f"pre-top-k NMS steady: {(time.time()-t0)/20*1e3:.2f} ms", flush=True)
     os.environ.pop("TPUDET_NMS_IMPL")
     print("SMOKE OK", flush=True)
 

@@ -56,13 +56,43 @@ def test_xbatch_matches_perimage_kernel():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_cluster_plus_disjoint_tail():
-    """One giant overlap cluster of top-scored boxes plus a disjoint low-scored
-    tail: exact greedy NMS must pick 1 cluster box then keep selecting from the
-    tail (regression guard for candidate-pool shortcuts in front of the
-    kernel)."""
+def test_pretopk_matches_full_kernel():
+    """The pre-top-k pool wrapper must reproduce the full-width kernel exactly
+    on scenes where no image's pool can exhaust (the common case)."""
+    from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pretopk
+
+    rng = np.random.default_rng(11)
+    b, n = 4, 1600  # n > pool (= 2*max_out = 512 min -> 512 here)
+    yx = rng.uniform(0, 400, (n, 2))
+    hw = rng.uniform(5, 40, (n, 2))
+    boxes = np.concatenate([yx - hw / 2, yx + hw / 2], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (b, n)).astype(np.float32)
+    active = rng.uniform(size=(b, n)) < 0.5
+    scores_m = np.where(active, scores, -1e30).astype(np.float32)
+    num_select = np.asarray([3, 25, 90, 0], np.int32)
+
+    fast = batched_greedy_nms_pretopk(
+        jnp.asarray(boxes), jnp.asarray(scores_m), jnp.asarray(num_select),
+        max_out=96, iou_threshold=0.5, interpret=True)
+    full = batched_greedy_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores_m), jnp.asarray(num_select),
+        max_out=96, iou_threshold=0.5, interpret=True)
+    for got, want in zip(fast, full):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pretopk_exhaustion_falls_back():
+    """A pool-exhausting scene (one cluster of mutually-overlapping top-scored
+    boxes swallows the whole pool before the quota fills, while better-late
+    candidates sit outside the pool) must detect inexactness and return the
+    full-width result."""
+    from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pretopk
+
     rng = np.random.default_rng(13)
-    n = 1200
+    n = 1200  # pool = 1024 (2*512)
+    # 1100 near-identical high-scored boxes (one giant overlap cluster): the
+    # first pick suppresses ~the whole pool. 100 disjoint low-scored boxes
+    # (fall outside the top-1024 pool) are what exact NMS keeps selecting.
     boxes = np.zeros((n, 4), np.float32)
     boxes[:1100] = [50, 50, 90, 90] + rng.uniform(-0.5, 0.5, (1100, 4)).astype(np.float32)
     for k in range(100):
@@ -74,14 +104,17 @@ def test_cluster_plus_disjoint_tail():
     scores[0, 1100:] = rng.uniform(0.1, 0.2, 100)
     num_select = np.asarray([60], np.int32)
 
-    sel, valid = batched_greedy_nms_pallas(
+    got = batched_greedy_nms_pretopk(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(num_select),
         max_out=512, iou_threshold=0.5, interpret=True)
-    sel, valid = np.asarray(sel), np.asarray(valid)
-    assert int(valid.sum()) == 60
-    picked = sel[0][valid[0]]
-    assert (picked[1:] >= 1100).all()  # exactly one cluster pick, 59 tail picks
-    assert picked[0] < 1100
+    want = batched_greedy_nms_pallas(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(num_select),
+        max_out=512, iou_threshold=0.5, interpret=True)
+    # exact NMS picks 1 cluster box + 59 of the disjoint tail; the pool only
+    # contains cluster boxes, so without the fallback the result would stop at 1
+    assert int(np.asarray(want[1]).sum()) == 60
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
 def test_zero_area_boxes_terminate():

@@ -101,9 +101,9 @@ def batched_greedy_nms(boxes, scores, num_select, max_out: int,
     num_select = jax.lax.stop_gradient(num_select)
 
     def _pallas(bx, s, ns):
-        from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pallas
+        from tpudet.ops.pallas.nms_kernel import batched_greedy_nms_pretopk
 
-        return batched_greedy_nms_pallas(bx, s, ns, max_out, iou_threshold)
+        return batched_greedy_nms_pretopk(bx, s, ns, max_out, iou_threshold)
 
     def _xla(bx, s, ns):
         if bx.ndim == 2:

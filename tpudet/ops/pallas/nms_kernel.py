@@ -86,9 +86,10 @@ def _kernel(ns_ref, sc_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
 def _kernel_xb(sc_ref, ns_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
                s, *, max_out: int, iou_threshold: float):
     """Cross-batch variant: the whole [C]-image chunk advances TOGETHER — every
-    loop iteration picks/suppresses one box PER IMAGE (vectorized over the
-    chunk), so the sequential trip count is ``max_out`` once for the chunk
-    instead of the per-image kernel's ``B * max_out``."""
+    while-loop iteration picks/suppresses one box PER IMAGE (vectorized over the
+    chunk), so total sequential iterations are max-selections-per-image instead of
+    the per-image kernel's sum over the batch (measured 4.9 ms -> sub-ms for the
+    SSD mining pass, whose ~15 selections/image were pure iteration latency)."""
     s[...] = sc_ref[...]
     y1 = y1_ref[...]
     x1 = x1_ref[...]
@@ -116,7 +117,12 @@ def _kernel_xb(sc_ref, ns_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
     def _rsum(t):
         return jnp.sum(jnp.sum(t, axis=2, keepdims=True), axis=1, keepdims=True)
 
-    def body(k, _):
+    def cond(carry):
+        k, cont = carry
+        return jnp.logical_and(k < max_out, cont)
+
+    def body(carry):
+        k, _ = carry
         vals = s[...]
         best = _rmax(vals)                                        # [C,1,1]
         j = _rmin(jnp.where(vals == best, lin, _BIG_IDX))         # [C,1,1]
@@ -140,15 +146,9 @@ def _kernel_xb(sc_ref, ns_ref, y1_ref, x1_ref, y2_ref, x2_ref, sel_ref, val_ref,
                                  j2, sel_ref[...])
         val_ref[...] = jnp.where(jnp.logical_and(at_k, ok2),
                                  1, val_ref[...])
-        return 0
+        return k + 1, jnp.any(active)
 
-    # STATIC trip count, masked picks, deliberately NO data-dependent early
-    # exit: a `while_loop` whose cond reduces vector state to a scalar stalls
-    # the pipeline on a VPU->scalar-core sync EVERY iteration (~30 us/iter
-    # measured -- the 6.1 ms mining-NMS block of the SSD300 step), while fori
-    # iterations cost well under a microsecond. max_out static trips of pure
-    # vector work are ~10x cheaper than ~n_selected synced iterations.
-    jax.lax.fori_loop(0, max_out, body, 0)
+    jax.lax.while_loop(cond, body, (0, True))
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "iou_threshold", "interpret"))
@@ -202,6 +202,48 @@ def batched_greedy_nms_pallas(boxes, scores, num_select, max_out: int,
         return sel[:b], val[:b] > 0
     return _pallas_per_image(boxes, scores, num_select, max_out, iou_threshold,
                              interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "iou_threshold", "interpret"))
+def batched_greedy_nms_pretopk(boxes, scores, num_select, max_out: int,
+                               iou_threshold: float, interpret: bool = False):
+    """Pre-top-k pool in front of the cross-batch kernel.
+
+    Greedy NMS only ever selects in descending score order, so restricting the
+    kernel to the top ``pool`` candidates per image is EXACT unless a run
+    consumes its whole pool (picked + suppressed == pool) before filling its
+    quota while more active candidates existed outside the pool. That rare case
+    falls back to the full-width kernel for the whole batch (one ``lax.cond``).
+
+    Payoff: the VMEM working set shrinks ~N/pool-fold, so the whole batch
+    advances in ONE grid program and each select/suppress iteration moves KBs
+    instead of MBs (the mining NMS was 6.1 ms of the SSD300 train step at
+    N=8828 — scripts/profile_ssd2.py, .convergence/queue7.log).
+    """
+    n = scores.shape[-1]
+    pool = max(2 * max_out, 512)
+    if n <= pool:
+        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
+                                         iou_threshold, interpret)
+    scores = scores.astype(jnp.float32)
+    top_s, top_i = jax.lax.top_k(scores, pool)                    # [B, pool]
+    if boxes.ndim == 2:
+        top_b = boxes[top_i]                                      # [B, pool, 4]
+    else:
+        top_b = jnp.take_along_axis(boxes, top_i[..., None], 1)
+    sel_p, val = batched_greedy_nms_pallas(top_b, top_s, num_select, max_out,
+                                           iou_threshold, interpret)
+    n_active = jnp.sum(scores > _NEG / 2, -1)                     # [B]
+    quota = jnp.minimum(jnp.minimum(num_select, max_out), n_active)
+    pool_exhausted = jnp.sum(val.astype(jnp.int32), -1) < quota
+    inexact = jnp.any(jnp.logical_and(pool_exhausted, n_active > pool))
+    sel_g = jnp.where(val, jnp.take_along_axis(top_i, sel_p, 1), 0)
+
+    def _full(_):
+        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
+                                         iou_threshold, interpret)
+
+    return jax.lax.cond(inexact, _full, lambda _: (sel_g, val), 0)
 
 
 def _pallas_per_image(boxes, scores, num_select, max_out: int,
