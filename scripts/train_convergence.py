@@ -236,7 +236,8 @@ def _load_class(path):
 
 
 # ----------------------------------------------------------------- training
-def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
+def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False,
+              resume: bool = False):
     spec = model_specs()[name]
     cls_path, (h, w), config, base_lr, total_steps, schedule = spec
     total_steps = int(total_steps * steps_scale)
@@ -284,8 +285,17 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
     ckpt_every = 500  # steps between periodic saves: a TPU/tunnel stall late in
     t0 = time.time()  # a run must not cost the whole run (--eval-only salvages)
     done_steps = 0
-    last_ckpt = 0
-    curve = open(curve_path, "w")
+    meta_path = os.path.join(run_dir, "ckpt_meta.json")
+    if resume and os.path.exists(meta_path):
+        # continue a stall-cut run from its periodic checkpoint: params, batch
+        # stats AND optimizer state reload (save_weight stores all three), the
+        # schedule fast-forwards to the checkpoint step
+        done_steps = int(json.load(open(meta_path))["steps"])
+        model.load_weight(os.path.join(run_dir, "ckpt"))
+        print(f"[{name}] resuming from step {done_steps}", flush=True)
+    skip_steps = done_steps
+    last_ckpt = done_steps
+    curve = open(curve_path, "a" if done_steps else "w")
 
     # Stall watchdog: a wedged TPU tunnel blocks the dispatch forever (observed
     # round 2/3: process sleeping at 0% CPU, curve frozen). Exit fast so the
@@ -307,6 +317,10 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False):
     for frac, mult in schedule:
         seg_steps = max(1, int(round(total_steps * frac)))
         lr = base_lr * mult
+        if skip_steps > 0:  # --resume: fast-forward past completed segments
+            ff = min(skip_steps, seg_steps)
+            seg_steps -= ff
+            skip_steps -= ff
         while seg_steps > 0 and done_steps < total_steps:
             this = min(chunk, seg_steps)
             model.num_train = this * batch
@@ -428,7 +442,8 @@ def main():
             if "--eval-only" in sys.argv:
                 results.append(eval_from_checkpoint(name))
                 continue
-            results.append(run_model(name, steps_scale=scale, smoke=smoke))
+            results.append(run_model(name, steps_scale=scale, smoke=smoke,
+                                     resume="--resume" in sys.argv))
         except Exception as e:  # keep the queue going; record the failure
             import traceback
 
