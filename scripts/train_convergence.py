@@ -225,6 +225,14 @@ def model_specs():
                  _common({"batch_size": 8, "data_shape": [800, 1200, 3],
                           "host_feed": True, "gt_pad": 24}),
                  1e-3, 5000, drop),
+        # 0.19 mAP at 5k steps with loss still falling: at bs8 the reference
+        # schedule sees 3x fewer images than the SSD/RefineDet runs; extended
+        # base-lr segment to a comparable image count
+        "FCOS-long": ("tpudet.models.fcos.FCOS", (800, 1200),
+                      _common({"batch_size": 8, "data_shape": [800, 1200, 3],
+                               "host_feed": True, "gt_pad": 24}),
+                      1e-3, 15000,
+                      [(0.01, 0.1), (0.89, 1.0), (0.07, 0.1), (0.03, 0.01)]),
     }
 
 
