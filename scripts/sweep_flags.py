@@ -13,12 +13,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
-    ("baseline", ""),
     ("scoped_vmem_64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
-    ("scoped_vmem_32m", "--xla_tpu_scoped_vmem_limit_kib=32768"),
     ("no_rwb_fusion", "--xla_tpu_rwb_fusion=false"),
     ("aggressive_fusion", "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"),
-    ("async_fusion", "--xla_tpu_enable_async_collective_fusion=false"),
     ("licm", "--xla_tpu_licm_size_inflation_ratio=1"),
 ]
 

@@ -289,7 +289,9 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
                                   anc.hw[best_anchor])
     best_arm_coord = (jnp.sum(loss_ops.smooth_l1(arm_yx[best_anchor] - bt_yx), -1)
                       + jnp.sum(loss_ops.smooth_l1(arm_hw[best_anchor] - bt_hw), -1))
-    pt_yx, pt_hw = box_ops.encode(g.yx[rg], jnp.maximum(g.hw[rg], 1e-8), anc.yx, anc.hw)
+    rg_label, rg_yx, rg_hw = matching.gather_gt_rows(rg, g.label, g.yx, g.hw)
+    rg_hw_safe = jnp.maximum(rg_hw, 1e-8)
+    pt_yx, pt_hw = box_ops.encode(rg_yx, rg_hw_safe, anc.yx, anc.hw)
     pos_arm_coord = (jnp.sum(loss_ops.smooth_l1(arm_yx - pt_yx), -1)
                      + jnp.sum(loss_ops.smooth_l1(arm_hw - pt_hw), -1))
     arm_coord_loss = (jnp.sum(best_arm_coord * vmask) + jnp.sum(pos_arm_coord * pos_f)) / denom
@@ -301,7 +303,7 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
 
     # ------------------------------------------------------------- ODM stage
     best_odm_ce = loss_ops.ce_from_log_probs(odm_lp[best_anchor], g.label)
-    pos_odm_ce = loss_ops.ce_from_log_probs(odm_lp, g.label[rg])
+    pos_odm_ce = loss_ops.ce_from_log_probs(odm_lp, rg_label)
     odm_conf_loss = (jnp.sum(best_odm_ce * vmask) + jnp.sum(pos_odm_ce * pos_f)) / denom
 
     # ODM box targets vs ARM-refined boxes
@@ -312,8 +314,8 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
     best_odm_coord = (jnp.sum(loss_ops.smooth_l1(odm_yx[best_anchor] - bo_yx), -1)
                       + jnp.sum(loss_ops.smooth_l1(odm_hw[best_anchor] - bo_hw), -1))
     p_arm_byx, p_arm_bhw = box_ops.decode(arm_yx, arm_hw, anc.yx, anc.hw)
-    po_yx = (g.yx[rg] - p_arm_byx) / p_arm_bhw
-    po_hw = jnp.log(jnp.maximum(g.hw[rg], 1e-8) / p_arm_bhw)
+    po_yx = (rg_yx - p_arm_byx) / p_arm_bhw
+    po_hw = jnp.log(rg_hw_safe / p_arm_bhw)
     pos_odm_coord = (jnp.sum(loss_ops.smooth_l1(odm_yx - po_yx), -1)
                      + jnp.sum(loss_ops.smooth_l1(odm_hw - po_hw), -1))
     odm_coord_loss = (jnp.sum(best_odm_coord * vmask) + jnp.sum(pos_odm_coord * pos_f)) / denom

@@ -121,8 +121,9 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, assign,
     pos_f = pos.astype(jnp.float32)
     neg_f = neg.astype(jnp.float32)
 
-    po_focal = _focal_rowwise(pconf, g.label[rg], alpha, gamma)
-    po_t_yx, po_t_hw = box_ops.encode(g.yx[rg], jnp.maximum(g.hw[rg], 1e-8),
+    rg_label, rg_yx, rg_hw = matching.gather_gt_rows(rg, g.label, g.yx, g.hw)
+    po_focal = _focal_rowwise(pconf, rg_label, alpha, gamma)
+    po_t_yx, po_t_hw = box_ops.encode(rg_yx, jnp.maximum(rg_hw, 1e-8),
                                       anc.yx, anc.hw)
     po_coord = (jnp.sum(loss_ops.smooth_l1(pyx - po_t_yx), -1)
                 + jnp.sum(loss_ops.smooth_l1(phw - po_t_hw), -1))

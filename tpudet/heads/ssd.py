@@ -131,8 +131,8 @@ def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, assign, num_classes_total:
     pos_other = jnp.logical_and(other, best_agiou > 0.5)
     neg = jnp.logical_and(other, jnp.logical_not(pos_other))
 
-    po_label = g.label[rg]
-    po_t_yx, po_t_hw = box_ops.encode(g.yx[rg], jnp.maximum(g.hw[rg], 1e-8),
+    po_label, rg_yx, rg_hw = matching.gather_gt_rows(rg, g.label, g.yx, g.hw)
+    po_t_yx, po_t_hw = box_ops.encode(rg_yx, jnp.maximum(rg_hw, 1e-8),
                                       anc.yx, anc.hw)
     po_ce = loss_ops.ce_from_log_probs(log_probs, po_label)
     po_coord = (

@@ -100,6 +100,38 @@ def best_gt_per_anchor(iou: jnp.ndarray, gt_valid: jnp.ndarray):
     return best_iou, best_idx
 
 
+def gather_gt_rows(rg: jnp.ndarray, *tables: jnp.ndarray):
+    """``table[rg]`` for small per-image gt tables (``[G]`` or ``[G, k]``).
+
+    On TPU the dynamic row gather is lowered as a one-hot matmul on the MXU
+    (``[A, G] @ [G, k]``): G is tiny (the gt pad width), so the one-hot plane
+    costs ~nothing and the serialized-gather lowering is avoided. Elsewhere it
+    is plain indexing. Exact for int tables too (values << 2^24 round-trip
+    through f32). TPUDET_GT_GATHER=take|onehot overrides for A/B.
+    """
+
+    def _onehot(rg, *ts):
+        g = ts[0].shape[0]
+        oh = (rg[:, None] == jnp.arange(g, dtype=rg.dtype)).astype(jnp.float32)
+        outs = []
+        for t in ts:
+            flat = t[:, None] if t.ndim == 1 else t
+            r = oh @ flat.astype(jnp.float32)
+            r = r[:, 0] if t.ndim == 1 else r
+            outs.append(r.astype(t.dtype))
+        return tuple(outs)
+
+    def _take(rg, *ts):
+        return tuple(t[rg] for t in ts)
+
+    forced = os.environ.get("TPUDET_GT_GATHER", "").lower()
+    if forced == "take":
+        return _take(rg, *tables)
+    if forced == "onehot":
+        return _onehot(rg, *tables)
+    return jax.lax.platform_dependent(rg, *tables, tpu=_onehot, default=_take)
+
+
 class Assignment(NamedTuple):
     """Batched anchor-assignment products (the four [G, A]-derived decisions)."""
 
