@@ -156,6 +156,10 @@ def main():
     try:
         scan_rate = _time_scan(model, images, gt, max(STEPS, 20))
     except Exception:
+        # visible failure: the scan path is the one convergence runs use
+        import traceback
+
+        traceback.print_exc()
         scan_rate = None
     cpu_rate = _cpu_baseline()
     vs = (tpu_rate / (10.0 * cpu_rate)) if cpu_rate else None

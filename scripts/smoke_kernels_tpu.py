@@ -54,6 +54,25 @@ def main():
     print(f"assign kernel: bit-exact vs XLA at [B={b}, G={g}, A={a}] "
           f"({time.time()-t0:.1f}s incl. compile)", flush=True)
 
+    # ------------------------------------------------ gather_gt_rows exactness
+    # The one-hot MXU gather must be EXACT on hardware (Precision.HIGHEST —
+    # default matmul precision truncates f32 to bf16 and rounds pixel coords).
+    t0 = time.time()
+    rg = jnp.asarray(rng.integers(0, g, (a,)).astype(np.int32))
+    coord_tab = jnp.asarray(rng.uniform(0, 1200, (g, 4)).astype(np.float32))
+    label_tab = jnp.asarray(rng.integers(0, 1000, (g,)).astype(np.int32))
+    os.environ["TPUDET_GT_GATHER"] = "onehot"
+    got = jax.jit(matching.gather_gt_rows)(rg, coord_tab, label_tab)
+    got = jax.tree.map(np.asarray, got)
+    os.environ["TPUDET_GT_GATHER"] = "take"
+    want = jax.jit(matching.gather_gt_rows)(rg, coord_tab, label_tab)
+    want = jax.tree.map(np.asarray, want)
+    os.environ.pop("TPUDET_GT_GATHER")
+    np.testing.assert_array_equal(got[0], want[0], err_msg="gather coords")
+    np.testing.assert_array_equal(got[1], want[1], err_msg="gather labels")
+    print(f"gather_gt_rows: onehot == take bit-exact at [A={a}, G={g}] "
+          f"({time.time()-t0:.1f}s incl. compile)", flush=True)
+
     # ------------------------------------------------ pre-top-k mining NMS
     t0 = time.time()
     boxes = jnp.concatenate([ay1, ay2], -1)

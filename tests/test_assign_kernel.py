@@ -114,6 +114,18 @@ class TestAssignKernel:
         ay2 = jnp.stack([b[1] for b in boxes])
         _check(gt, ay1, ay2)
 
+    def test_zero_area_gt_with_lane_padding(self):
+        # A valid gt whose h (or w) clipped to 0, with A not a multiple of 128:
+        # the kernel's zero-area lane-padding anchors give inter=0 and union=0
+        # -> 0/0 without the denominator clamp; the NaN row would poison
+        # row_max and push best_anchor to 2^30 while XLA returns 0.
+        rng = np.random.default_rng(5)
+        gt = _rand_gt(rng, 3, 24, 4)
+        gt = gt.at[0, 0].set(jnp.asarray([120.0, 80.0, 0.0, 40.0, 7.0]))
+        gt = gt.at[1, 1].set(jnp.asarray([10.0, 10.0, 0.0, 0.0, 2.0]))
+        ay1, ay2 = _rand_anchors(rng, 333)  # 333 % 128 != 0 -> padded lanes
+        _check(gt, ay1, ay2)
+
     def test_ssd300_scale(self):
         rng = np.random.default_rng(4)
         gt = _rand_gt(rng, 8, 60, 6)

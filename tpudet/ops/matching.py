@@ -106,8 +106,13 @@ def gather_gt_rows(rg: jnp.ndarray, *tables: jnp.ndarray):
     On TPU the dynamic row gather is lowered as a one-hot matmul on the MXU
     (``[A, G] @ [G, k]``): G is tiny (the gt pad width), so the one-hot plane
     costs ~nothing and the serialized-gather lowering is avoided. Elsewhere it
-    is plain indexing. Exact for int tables too (values << 2^24 round-trip
-    through f32). TPUDET_GT_GATHER=take|onehot overrides for A/B.
+    is plain indexing. The matmul runs at ``Precision.HIGHEST`` — at the default
+    precision the TPU MXU truncates f32 operands to bfloat16 (8 significant
+    bits), which would round pixel-scale gt coordinates (ulp 2px near 300) and
+    corrupt int labels > 256. With full precision it is exact for int tables
+    too (values << 2^24 round-trip through f32); asserted vs the take path on
+    hardware in scripts/smoke_kernels_tpu.py. TPUDET_GT_GATHER=take|onehot
+    overrides for A/B.
     """
 
     def _onehot(rg, *ts):
@@ -116,7 +121,8 @@ def gather_gt_rows(rg: jnp.ndarray, *tables: jnp.ndarray):
         outs = []
         for t in ts:
             flat = t[:, None] if t.ndim == 1 else t
-            r = oh @ flat.astype(jnp.float32)
+            r = jnp.matmul(oh, flat.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
             r = r[:, 0] if t.ndim == 1 else r
             outs.append(r.astype(t.dtype))
         return tuple(outs)

@@ -77,7 +77,11 @@ def _kernel(gy1_ref, gx1_ref, gy2_ref, gx2_ref, gval_ref,
         ix = (jnp.minimum(g3(gx2), a3(ax2)) - jnp.maximum(g3(gx1), a3(ax1)))
         inter = jnp.maximum(iy, 0.0) * jnp.maximum(ix, 0.0)
         g_area = (gy2 - gy1) * (gx2 - gx1)               # [gc, 1]
-        iou = inter / (g3(g_area) + a3(a_area) - inter)  # [gc, r, lanes]
+        # Clamp the union: a zero-area gt (h or w clipped to 0) against a
+        # zero-area padding anchor gives 0/0 -> NaN, which would poison row_max
+        # and send best_anchor to _BIG_IDX; the XLA path yields IoU 0 there.
+        denom = jnp.maximum(g3(g_area) + a3(a_area) - inter, 1e-12)
+        iou = inter / denom                              # [gc, r, lanes]
         # masked_iou_matrix semantics: invalid gt rows contribute 0
         iou = jnp.where(g3(gval.astype(jnp.float32)) > 0.5, iou, 0.0)
 
