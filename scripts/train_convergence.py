@@ -203,7 +203,7 @@ def model_specs():
                                _common({"batch_size": 32, "input_size": 320,
                                         "host_feed": True,
                                         "device_augment_split": True}),
-                               5e-4, 2500, drop),
+                               5e-4, 5000, drop),
         # host_feed: a 700x1100/800x1200 uint8 dataset is ~9-12 GB; the
         # device-resident gather path needs a layout copy of the whole dataset at
         # scan compile time (observed 18.45G > 15.75G HBM), so feed from host.
@@ -227,12 +227,38 @@ def model_specs():
                  1e-3, 5000, drop),
         # 0.19 mAP at 5k steps with loss still falling: at bs8 the reference
         # schedule sees 3x fewer images than the SSD/RefineDet runs; extended
-        # base-lr segment to a comparable image count
+        # base-lr segment to a comparable image count. Chunked HBM residency
+        # (the round-3 host feed ran 9 imgs/s vs 77 device-capable): ~10 GB
+        # resident in 1.3 GB chunks, non-resident rows rotated in every 6 pins.
         "FCOS-long": ("tpudet.models.fcos.FCOS", (800, 1200),
                       _common({"batch_size": 8, "data_shape": [800, 1200, 3],
-                               "host_feed": True, "gt_pad": 24}),
+                               "chunk_bytes": 13 * 10**8, "rotate_every": 6,
+                               "gt_pad": 24}),
                       1e-3, 15000,
                       [(0.01, 0.1), (0.89, 1.0), (0.07, 0.1), (0.03, 0.01)]),
+        # long variants for the three possibly-undertrained rows (round-3
+        # VERDICT weak #3): CenterNet-long's extended base-lr segment pattern
+        # device-resident at the proven-safe pad-24 width (the worker fault is
+        # pad-60-specific per the bisect matrix; smoke-probed before the run)
+        "RefineDet320-long": ("tpudet.models.refinedet.RefineDet320",
+                              (320, 320),
+                              _common({"batch_size": 32, "input_size": 320,
+                                       "gt_pad": 24}),
+                              5e-4, 15000,
+                              [(0.02, 0.1), (0.88, 1.0), (0.07, 0.1),
+                               (0.03, 0.01)]),
+        "LHRCNN-long": ("tpudet.models.lhrcnn.LHRCNN", (700, 1100),
+                        _common({"batch_size": 8,
+                                 "data_shape": [700, 1100, 3],
+                                 "chunk_bytes": 13 * 10**8, "rotate_every": 6,
+                                 "gt_pad": 24, "loss_sync_every": 2,
+                                 "is_pretraining": False,
+                                 "rpn_first_step": 5000,
+                                 "rcnn_first_step": 8000,
+                                 "rpn_second_step": 10000,
+                                 "post_nms_proposal": 500}),
+                        3e-4, 12000,
+                        [(0.03, 0.1), (0.80, 1.0), (0.17, 0.1)]),
     }
 
 
@@ -269,8 +295,20 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False,
     gt_pad = config.pop("gt_pad", None)
     if gt_pad is not None:
         train_gt = train_gt[:, :gt_pad]
+    chunk_bytes = config.pop("chunk_bytes", None)
+    rotate_every = config.pop("rotate_every", None)
     if config.pop("host_feed", False):
         feeder = MemmapFeeder(train_images, train_gt, batch, seed=1)
+    elif chunk_bytes is not None:
+        # Chunked HBM residency for the big-input models (800x1200 / 700x1100):
+        # the dataset exceeds HBM, so K ~chunk_bytes arrays stay resident, each
+        # scan dispatch binds ONE of them (no whole-set layout copy), and
+        # rotation streams the non-resident remainder in for full coverage.
+        from tpudet.data.device_dataset import DeviceDataset
+
+        feeder = DeviceDataset(train_images, train_gt, batch, seed=1,
+                               max_bytes=10 * 10**9, chunk_bytes=chunk_bytes,
+                               rotate_every=rotate_every)
     else:
         # Device-resident feed: the tunneled host->device path (~100 MB/s, no
         # compute overlap — scripts/probe_transfer.py) costs 2-4x the train step
@@ -404,7 +442,7 @@ def eval_from_checkpoint(name: str):
     meta = json.load(open(os.path.join(run_dir, "ckpt_meta.json")))
     d = synthvoc.build(DATA_ROOT, h, w)
     batch = config["batch_size"]
-    for k in ("gt_pad", "host_feed"):
+    for k in ("gt_pad", "host_feed", "chunk_bytes", "rotate_every"):
         config.pop(k, None)
     provider = {"data_shape": [h, w, 3], "num_train": batch, "num_val": 0,
                 "train_generator": iter(()), "val_generator": None}

@@ -39,6 +39,45 @@ class TestDeviceDataset:
         idx = d.next_indices(3).ravel()  # one full epoch
         assert sorted(idx.tolist()) == list(range(12))
 
+    def test_chunked_residency_draws_and_coverage(self):
+        # 24 rows, chunk budget of 8 rows -> 2 chunks of 8 resident (16/24),
+        # pool of 8 rotating in every 2nd pin
+        images, gt = _tiny_data(n=24)
+        per = int(np.prod(images.shape[1:]))
+        d = DeviceDataset(images, gt, batch=4, seed=0,
+                          max_bytes=16 * per, chunk_bytes=8 * per,
+                          rotate_every=2)
+        assert d.k_chunks == 2 and d.chunk_rows == 8
+        seen = set()
+        for _ in range(12):  # 12 epoch-slices of 2 batches each
+            idx = np.asarray(d.scan_indices(2))
+            assert idx.shape == (2, 4)
+            assert idx.min() >= 0 and idx.max() < d.chunk_rows
+            rows = d._slot_rows[d._pin][idx.ravel()]
+            seen.update(rows.tolist())
+            bi, bg = d.images, d.gt
+            assert bi.shape == (8, 64, 64, 3) and bg.shape == (8, 6, 5)
+            # gathered batch rows must match the host rows they claim to be
+            np.testing.assert_array_equal(
+                np.asarray(bi)[idx[0]], images[d._slot_rows[d._pin][idx[0]]])
+        # rotation must eventually expose MORE than the initially-resident 16
+        assert len(seen) > 16
+
+    def test_chunked_within_chunk_pass_covers_chunk(self):
+        images, gt = _tiny_data(n=16)
+        per = int(np.prod(images.shape[1:]))
+        d = DeviceDataset(images, gt, batch=4, seed=1, chunk_bytes=8 * per)
+        idx = np.asarray(d.scan_indices(2))  # one full pass over one chunk
+        assert sorted(idx.ravel().tolist()) == list(range(8))
+
+    def test_chunked_per_step_path(self):
+        images, gt = _tiny_data(n=16)
+        per = int(np.prod(images.shape[1:]))
+        d = DeviceDataset(images, gt, batch=4, seed=2, chunk_bytes=8 * per)
+        for _ in range(5):  # crosses a chunk-advance boundary (pass = 2 draws)
+            bi, bg = next(d)
+            assert bi.shape == (4, 64, 64, 3) and bg.shape == (4, 6, 5)
+
     def test_gather_shapes_and_device(self):
         images, gt = _tiny_data()
         d = DeviceDataset(images, gt, batch=4, seed=0)

@@ -49,15 +49,36 @@ class DeviceDataset:
         random ``seed``-deterministic subset is cached instead (and a note is
         printed) — the convergence protocol prefers a smaller resident set over a
         4x slower streamed feed.
+      chunk_bytes: CHUNKED residency — store the resident set as K separate
+        ~chunk_bytes arrays instead of one monolith, and pin one chunk per
+        epoch-slice. Each scan dispatch then binds a single chunk, so XLA's
+        compile-time layout copy of the bound operand is one chunk (~1.3 GB),
+        not the whole resident set — the copy that blew HBM for the big-input
+        models (800x1200: 14.4 GB dataset + full layout copy > 16 GB HBM,
+        round-3 VERDICT weak #2). Chunks are visited in a reshuffled cycle;
+        rows shuffle within the pinned chunk.
+      rotate_every: with ``chunk_bytes``, refresh one resident chunk from the
+        non-resident remainder of the dataset every N-th chunk pin (one
+        ~chunk_bytes host->device upload each time), so a dataset bigger than
+        the HBM budget still gets FULL coverage over time instead of training
+        on a fixed subset. None disables rotation.
     """
 
     def __init__(self, images, gt, batch: int, seed: int = 0,
-                 max_bytes: Optional[int] = None):
+                 max_bytes: Optional[int] = None,
+                 chunk_bytes: Optional[int] = None,
+                 rotate_every: Optional[int] = None):
         n = images.shape[0]
         self._seed = seed
         self.rng = np.random.default_rng(seed)
+        self._chunked = chunk_bytes is not None
+        self._rotate_every = rotate_every
+        self._host_pool = None
+        per = int(np.prod(images.shape[1:]))  # uint8 bytes per image
+        if self._chunked:
+            self._init_chunked(images, gt, batch, per, max_bytes, chunk_bytes)
+            return
         if max_bytes is not None:
-            per = int(np.prod(images.shape[1:]))  # uint8 bytes per image
             cap = max(batch, int(max_bytes // per))
             if cap < n:
                 keep = np.sort(self.rng.choice(n, size=cap, replace=False))
@@ -83,14 +104,116 @@ class DeviceDataset:
         self._order = np.arange(self.n)
         self._pos = self.n  # trigger shuffle on first batch
 
+    # ------------------------------------------------------ chunked residency
+    def _init_chunked(self, images, gt, batch, per, max_bytes, chunk_bytes):
+        n = images.shape[0]
+        self.batch = batch
+        self._full_images, self._full_gt = images, gt  # memmaps stay on disk
+        resident_cap = n if max_bytes is None else max(batch,
+                                                       int(max_bytes // per))
+        self.chunk_rows = min(max(batch, int(chunk_bytes // per)),
+                              min(n, resident_cap))
+        self.k_chunks = max(1, min(n, resident_cap) // self.chunk_rows)
+        resident = self.k_chunks * self.chunk_rows
+        self.n = resident  # rows addressable per epoch-slice
+        perm = self.rng.permutation(n)
+        self._slot_rows = [np.sort(perm[c * self.chunk_rows:
+                                        (c + 1) * self.chunk_rows])
+                           for c in range(self.k_chunks)]
+        self._pool = list(perm[resident:])  # non-resident rows (FIFO)
+        print(f"[DeviceDataset] chunked residency: {self.k_chunks} x "
+              f"{self.chunk_rows} rows ({resident}/{n} resident, "
+              f"{self.chunk_rows * per / 1e9:.2f} GB/chunk"
+              + (f", rotate every {self._rotate_every} pins"
+                 if self._rotate_every and self._pool else "") + ")",
+              flush=True)
+        self._dev_chunks = None  # uploaded lazily on first use
+        self._slot_order = [np.arange(self.chunk_rows)
+                            for _ in range(self.k_chunks)]
+        self._slot_pos = [self.chunk_rows] * self.k_chunks  # shuffle on 1st draw
+        self._cycle = self.rng.permutation(self.k_chunks)
+        self._cycle_pos = 0
+        self._pin = None
+        self._pin_count = 0
+        self._pin_draws = 0  # batches drawn from current pin (per-step path)
+        self.distributed = False
+
+        def gather(imgs, gt_, idx):
+            return jnp.take(imgs, idx, 0), jnp.take(gt_, idx, 0)
+
+        self._gather = jax.jit(gather)
+        self._gather_dist = None
+
+    def _chunk_host_arrays(self, rows):
+        return (np.ascontiguousarray(self._full_images[rows], dtype=np.uint8),
+                np.ascontiguousarray(self._full_gt[rows], dtype=np.float32))
+
+    def _ensure_chunks_resident(self):
+        if self._dev_chunks is None:
+            self._dev_chunks = [
+                tuple(jax.device_put(a) for a in self._chunk_host_arrays(rows))
+                for rows in self._slot_rows]
+
+    def _refresh_slot(self, s: int):
+        """Swap part of slot ``s`` with rows from the non-resident pool (one
+        chunk-sized host->device upload); the replaced rows rejoin the pool."""
+        m = min(len(self._pool), self.chunk_rows)
+        if m == 0:
+            return
+        new_ids = np.asarray(self._pool[:m])
+        del self._pool[:m]
+        old = self._slot_rows[s]
+        self._pool.extend(old[:m].tolist())
+        self._slot_rows[s] = np.sort(np.concatenate([new_ids, old[m:]]))
+        self._dev_chunks[s] = tuple(
+            jax.device_put(a)
+            for a in self._chunk_host_arrays(self._slot_rows[s]))
+        self._slot_pos[s] = self.chunk_rows  # fresh rows: reshuffle stream
+
+    def _advance_pin(self):
+        self._ensure_chunks_resident()
+        if self._cycle_pos >= self.k_chunks:
+            self._cycle = self.rng.permutation(self.k_chunks)
+            self._cycle_pos = 0
+        s = int(self._cycle[self._cycle_pos])
+        self._cycle_pos += 1
+        self._pin_count += 1
+        if (self._rotate_every and self._pool
+                and self._pin_count % self._rotate_every == 0):
+            self._refresh_slot(s)
+        self._pin = s
+        self._pin_draws = 0
+
+    def _draw_from_pinned(self, k: int) -> np.ndarray:
+        s = self._pin
+        order, pos = self._slot_order[s], self._slot_pos[s]
+        out = np.empty((k, self.batch), np.int32)
+        for i in range(k):
+            if pos + self.batch > self.chunk_rows:
+                self.rng.shuffle(order)
+                pos = 0
+            out[i] = order[pos:pos + self.batch]
+            pos += self.batch
+        self._slot_pos[s] = pos
+        self._pin_draws += k
+        return out
+
     # --------------------------------------------------------------- residency
     @property
     def images(self) -> jax.Array:
+        if self._chunked:
+            if self._pin is None:
+                self._advance_pin()
+            return self._dev_chunks[self._pin][0]
         self._ensure_resident()
         return self._images
 
     @property
     def gt(self) -> jax.Array:
+        if self._chunked:
+            if self._pin is None:
+                self._advance_pin()
+            return self._dev_chunks[self._pin][1]
         self._ensure_resident()
         return self._gt
 
@@ -113,6 +236,11 @@ class DeviceDataset:
         ``jax.make_array_from_process_local_data`` (no data movement)."""
         if self.distributed:
             return
+        if self._chunked:
+            raise NotImplementedError(
+                "chunked residency is a single-process big-input feed; use the "
+                "plain resident mode (it shards over the mesh) for datasets "
+                "that fit HBM")
         assert self._images is None, "distribute() must precede the first batch"
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -177,7 +305,14 @@ class DeviceDataset:
         ``[k, n_dev, per_dev]`` int32 LOCAL offsets into each device's shard.
         A caller can run all k steps in ONE device dispatch (gather + step inside
         a ``lax.scan``), which amortizes the per-dispatch tunnel round-trip
-        (DetectorBase.train_one_epoch does this automatically)."""
+        (DetectorBase.train_one_epoch does this automatically).
+
+        Chunked mode: offsets into the chunk pinned by the most recent
+        ``scan_indices``/``_advance_pin`` call."""
+        if self._chunked:
+            if self._pin is None:
+                self._advance_pin()
+            return self._draw_from_pinned(k)
         if self.distributed:
             out = np.empty((k, self.n_dev, self.per_dev), np.int32)
             for d in range(self.n_dev):
@@ -203,7 +338,15 @@ class DeviceDataset:
     def scan_indices(self, k: int) -> jax.Array:
         """``next_indices(k)`` as the on-device global array the scanned epoch
         consumes (sharded over the device axis in distributed mode; every process
-        computes the same stream, so no cross-host exchange is needed)."""
+        computes the same stream, so no cross-host exchange is needed).
+
+        Chunked mode: each call pins the NEXT chunk in the shuffled cycle (one
+        epoch-slice trains against one chunk; rotation may refresh it from the
+        non-resident pool first), then returns offsets into that chunk —
+        callers must read ``ds.images``/``ds.gt`` AFTER this call."""
+        if self._chunked:
+            self._advance_pin()
+            return jnp.asarray(self._draw_from_pinned(k))
         idx = self.next_indices(k)
         if not self.distributed:
             return jnp.asarray(idx)
@@ -230,6 +373,14 @@ class DeviceDataset:
         return self
 
     def __next__(self) -> Tuple[jax.Array, jax.Array]:
+        if self._chunked:
+            # per-step path: advance the pin after a full pass over the chunk
+            if (self._pin is None
+                    or self._pin_draws * self.batch >= self.chunk_rows):
+                self._advance_pin()
+            idx = self._draw_from_pinned(1)[0]
+            return self._gather(self.images, self.gt,
+                                jnp.asarray(idx, jnp.int32))
         if self.distributed:
             if self._gather_dist is None:
                 self._gather_dist = jax.jit(self.make_gather())
@@ -239,6 +390,11 @@ class DeviceDataset:
         return self._gather(self.images, self.gt, jnp.asarray(idx, jnp.int32))
 
     def reset(self):  # reference initializer contract: reshuffle + restart
+        if self._chunked:
+            self._slot_pos = [self.chunk_rows] * self.k_chunks
+            self._cycle_pos = self.k_chunks  # re-deal the chunk cycle
+            self._pin = None
+            return
         if self.distributed:
             self._dev_pos = [self.n_shard] * self.n_dev
         self._pos = self.n
