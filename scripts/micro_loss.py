@@ -83,3 +83,43 @@ timeit("gather [B,A] labels from [B,G]", gather_label, rg, label)
 timeit("gather [B,G,C] conf rows from [B,A,C]", gather_conf_rows, ba, conf)
 timeit("log_softmax [B,A,C]", logsoftmax, conf)
 timeit("10x elementwise pass over [B,A]", elementwise_mass, conf)
+
+# ---------------------------------------------------- mining-NMS split
+# the "-NMS" ablation delta was 6.7 ms (profile_ssd2); is it the lax.top_k
+# pre-pool, the greedy kernel, or the index plumbing?
+from tpudet.ops import nms as nms_mod
+from tpudet.ops.pallas import nms_kernel
+
+scores = jnp.asarray(
+    np.where(rng.uniform(size=(B, A)) < 0.3,
+             rng.uniform(0, 10, (B, A)), -1e30).astype(np.float32))
+boxes = jnp.asarray(
+    np.concatenate([p := rng.uniform(0, 280, (A, 2)).astype(np.float32),
+                    p + rng.uniform(5, 40, (A, 2)).astype(np.float32)], -1))
+ns = jnp.asarray(rng.integers(5, 120, (B,)).astype(np.int32))
+CAP = 384
+POOL = max(2 * CAP, 512)
+
+
+@jax.jit
+def topk_only(s):
+    return jax.lax.top_k(s, POOL)
+
+
+@jax.jit
+def mining_full(bx, s, n):
+    return nms_kernel.batched_greedy_nms_pretopk(bx, s, n, CAP, 0.7)
+
+
+pool_s, pool_i = jax.jit(topk_only)(scores)
+pool_b = boxes[pool_i]
+
+
+@jax.jit
+def kernel_only(bx, s, n):
+    return nms_kernel.batched_greedy_nms_pallas(bx, s, n, CAP, 0.7)
+
+
+timeit(f"lax.top_k [B,{A}] -> {POOL}", topk_only, scores)
+timeit(f"greedy kernel on pooled [B,{POOL}]", kernel_only, pool_b, pool_s, ns)
+timeit("mining pre-top-k full path", mining_full, boxes, scores, ns)

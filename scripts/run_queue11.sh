@@ -43,6 +43,7 @@ conv() {
   fi
 }
 
+T=1200 run python scripts/micro_loss.py
 T=3600 run python scripts/sweep_flags.py
 
 conv FCOS-long
