@@ -47,7 +47,11 @@ T=1200 run python scripts/micro_loss.py
 T=3600 run python scripts/sweep_flags.py
 
 conv FCOS-long
-conv RetinaNet-long
+# RetinaNet-long: landed by the still-running queue10 (round-3 tail); rerun
+# here only if its result never materialized
+if [ ! -f .convergence/runs/RetinaNet-long/result.json ]; then
+  conv RetinaNet-long
+fi
 conv RefineDet320-pad60 7200
 conv RefineDet320-long
 conv LHRCNN-long

@@ -14,9 +14,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
     ("scoped_vmem_64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
+    ("scoped_vmem_128m", "--xla_tpu_scoped_vmem_limit_kib=131072"),
     ("no_rwb_fusion", "--xla_tpu_rwb_fusion=false"),
     ("aggressive_fusion", "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"),
     ("licm", "--xla_tpu_licm_size_inflation_ratio=1"),
+    ("bundle_cost", "--xla_tpu_use_bundle_aware_cost_model=true"),
 ]
 
 
