@@ -25,7 +25,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
-STEPS = int(os.environ.get("BENCH_STEPS", 10))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))  # 30 amortizes the ~24 ms tunnel
+# fetch + per-dispatch overhead to <1 ms/step; 10 understated steady-state ~3%
 CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
 
 

@@ -1,0 +1,73 @@
+"""The CA-layout conf-loss block (TPUDET_SSD_CONF_LAYOUT=ca) must agree with the
+straightforward [A, C] form: same three CE readouts, same total loss, up to fp
+reduction order of the 21-term logsumexp. See heads/ssd.py:_conf_ce_terms."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet.heads import ssd as ssd_head
+
+
+@pytest.fixture
+def setenv():
+    old = os.environ.get("TPUDET_SSD_CONF_LAYOUT")
+    yield os.environ
+    if old is None:
+        os.environ.pop("TPUDET_SSD_CONF_LAYOUT", None)
+    else:
+        os.environ["TPUDET_SSD_CONF_LAYOUT"] = old
+
+
+def _data(seed=0, a=977, g=60, c=21):
+    rng = np.random.default_rng(seed)
+    pconf = jnp.asarray(rng.normal(size=(a, c)).astype(np.float32) * 3)
+    best_anchor = jnp.asarray(rng.integers(0, a, (g,)).astype(np.int32))
+    g_label = jnp.asarray(rng.integers(0, c, (g,)).astype(np.int32))
+    po_label = jnp.asarray(rng.integers(0, c, (a,)).astype(np.int32))
+    return pconf, best_anchor, g_label, po_label, c
+
+
+def test_ca_matches_ac(setenv):
+    pconf, best_anchor, g_label, po_label, c = _data()
+    setenv["TPUDET_SSD_CONF_LAYOUT"] = "ac"
+    ac = ssd_head._conf_ce_terms(pconf, best_anchor, g_label, po_label, c)
+    setenv["TPUDET_SSD_CONF_LAYOUT"] = "ca"
+    ca = ssd_head._conf_ce_terms(pconf, best_anchor, g_label, po_label, c)
+    for t_ac, t_ca, name in zip(ac, ca, ("best_ce", "po_ce", "neg_ce")):
+        np.testing.assert_allclose(t_ac, t_ca, rtol=2e-6, atol=2e-6, err_msg=name)
+
+
+def test_ca_full_loss_and_grad(setenv):
+    """End-to-end ssd_loss value AND d(loss)/d(pconf) agree across layouts."""
+    rng = np.random.default_rng(1)
+    b, a, g, c = 3, 977, 60, 21
+    from tpudet.ops import anchors as anchor_ops
+
+    yx = jnp.asarray(rng.uniform(10, 290, (a, 2)).astype(np.float32))
+    hw = jnp.asarray(rng.uniform(10, 120, (a, 2)).astype(np.float32))
+    anc = ssd_head.AnchorSet(yx, hw, yx - hw / 2, yx + hw / 2)
+    pconf = jnp.asarray(rng.normal(size=(b, a, c)).astype(np.float32))
+    pyx = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32))
+    phw = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32))
+    gt = -np.ones((b, g, 5), np.float32)
+    for i in range(b):
+        for k in range(4):
+            h, w = rng.uniform(20, 150, 2)
+            gt[i, k] = [rng.uniform(h / 2, 300 - h / 2),
+                        rng.uniform(w / 2, 300 - w / 2), h, w,
+                        rng.integers(0, c - 1)]
+    gt = jnp.asarray(gt)
+
+    def loss_fn(pc):
+        return ssd_head.ssd_loss(pc, pyx, phw, anc, gt, c)
+
+    outs = {}
+    for layout in ("ac", "ca"):
+        setenv["TPUDET_SSD_CONF_LAYOUT"] = layout
+        outs[layout] = (loss_fn(pconf), jax.grad(loss_fn)(pconf))
+    np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
+    np.testing.assert_allclose(outs["ac"][1], outs["ca"][1], rtol=1e-4, atol=1e-6)

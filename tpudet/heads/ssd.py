@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -107,6 +109,49 @@ def flatten_preds(preds, num_classes_total: int):
             jnp.concatenate(hws, 1).astype(jnp.float32))
 
 
+def _conf_ce_terms(pconf, best_anchor, g_label, po_label, num_classes_total: int):
+    """The three CE readouts off ONE log-softmax of the [A, C] conf logits:
+    per-gt best-anchor CE, per-anchor assigned-label CE, per-anchor background CE.
+
+    Two layouts, selected by TPUDET_SSD_CONF_LAYOUT (read at trace time):
+
+    * ``ac`` — the straightforward [A, C] form (log_softmax over the minor axis).
+    * ``ca`` (default) — transpose to [C, A] first so the 8k-anchor axis rides the TPU lane
+      dimension instead of the C=21 class axis (which pads to 128 lanes, a 6x
+      HBM-footprint waste on every [A, C] materialization in fwd AND bwd). The
+      softmax reduces over sublanes; label CEs become masked sublane reductions;
+      the best-anchor gather is an exact one-hot selection matmul at
+      ``Precision.HIGHEST`` (same argument as matching.gather_gt_rows: the 3-way
+      bf16 split of an f32 selected by 0/1 weights re-sums exactly).
+
+    Both produce identical values up to fp reduction order of the 21-term
+    logsumexp (tests/test_ssd_conf_layout.py asserts <= 1e-6 rel).
+    """
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        c = num_classes_total
+        pconf_ca = pconf.T  # [C, A]
+        m = jnp.max(pconf_ca, axis=0)
+        logz = m + jnp.log(jnp.sum(jnp.exp(pconf_ca - m[None, :]), axis=0))
+        log_probs_ca = pconf_ca - logz[None, :]
+        cls_plane = jnp.arange(c, dtype=jnp.int32)[:, None]
+        po_oh = po_label[None, :].astype(jnp.int32) == cls_plane
+        po_ce = -jnp.sum(jnp.where(po_oh, log_probs_ca, 0.0), axis=0)
+        neg_ce = -log_probs_ca[c - 1]
+        a = pconf.shape[0]
+        best_oh = (
+            best_anchor[:, None] == jnp.arange(a, dtype=best_anchor.dtype)
+        ).astype(jnp.float32)  # [G, A]
+        best_lp = jnp.einsum("ga,ca->gc", best_oh, log_probs_ca,
+                             precision=jax.lax.Precision.HIGHEST)
+        best_ce = loss_ops.ce_from_log_probs(best_lp, g_label)
+        return best_ce, po_ce, neg_ce
+    log_probs = loss_ops.log_softmax(pconf)  # one softmax serves all three CE terms
+    best_ce = loss_ops.ce_from_log_probs(log_probs[best_anchor], g_label)
+    po_ce = loss_ops.ce_from_log_probs(log_probs, po_label)
+    neg_ce = -log_probs[:, num_classes_total - 1]
+    return best_ce, po_ce, neg_ce
+
+
 def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, assign, num_classes_total: int):
     """Per-image SSD matching terms (SSD300.py:345-453) on the PRE-COMPUTED
     assignment (one batched Pallas program on TPU — matching.assign_batch);
@@ -114,10 +159,6 @@ def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, assign, num_classes_total:
     (pos_loss, neg_ce [A], neg_mask [A], chosen_num_neg)."""
     g = matching.unpack_gt(gt)
     best_anchor, best_agiou, rg, best_set = assign
-    log_probs = loss_ops.log_softmax(pconf)  # one softmax serves all three CE terms
-
-    # --- best-anchor-per-gt rows (forced positives, duplicates kept) ---
-    best_ce = loss_ops.ce_from_log_probs(log_probs[best_anchor], g.label)
     t_yx, t_hw = box_ops.encode(g.yx, jnp.maximum(g.hw, 1e-8),
                                 anc.yx[best_anchor], anc.hw[best_anchor])
     best_coord = (
@@ -132,9 +173,10 @@ def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, assign, num_classes_total:
     neg = jnp.logical_and(other, jnp.logical_not(pos_other))
 
     po_label, rg_yx, rg_hw = matching.gather_gt_rows(rg, g.label, g.yx, g.hw)
+    best_ce, po_ce, neg_ce = _conf_ce_terms(pconf, best_anchor, g.label, po_label,
+                                            num_classes_total)
     po_t_yx, po_t_hw = box_ops.encode(rg_yx, jnp.maximum(rg_hw, 1e-8),
                                       anc.yx, anc.hw)
-    po_ce = loss_ops.ce_from_log_probs(log_probs, po_label)
     po_coord = (
         jnp.sum(loss_ops.smooth_l1(pyx - po_t_yx), -1)
         + jnp.sum(loss_ops.smooth_l1(phw - po_t_hw), -1)
@@ -147,7 +189,6 @@ def _image_terms(pyx, phw, pconf, anc: AnchorSet, gt, assign, num_classes_total:
     pos_coord_loss = (jnp.sum(best_coord * vmask) + jnp.sum(po_coord * pos_f)) / denom
 
     # --- hard-negative candidates: NMS-on-loss runs batched outside the vmap (Q15) ---
-    neg_ce = -log_probs[:, num_classes_total - 1]
     num_neg = jnp.sum(neg.astype(jnp.int32))
     chosen = jnp.minimum(num_neg, 3 * num_pos_int)
 
