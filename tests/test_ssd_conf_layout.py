@@ -71,3 +71,70 @@ def test_ca_full_loss_and_grad(setenv):
         outs[layout] = (loss_fn(pconf), jax.grad(loss_fn)(pconf))
     np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
     np.testing.assert_allclose(outs["ac"][1], outs["ca"][1], rtol=1e-4, atol=1e-6)
+
+
+def _gt_batch(rng, b, g, c, frame=300):
+    gt = -np.ones((b, g, 5), np.float32)
+    for i in range(b):
+        for k in range(4):
+            h, w = rng.uniform(20, 150, 2)
+            gt[i, k] = [rng.uniform(h / 2, frame - h / 2),
+                        rng.uniform(w / 2, frame - w / 2), h, w,
+                        rng.integers(0, c - 1)]
+    return jnp.asarray(gt)
+
+
+def _anchors(rng, a):
+    yx = jnp.asarray(rng.uniform(10, 290, (a, 2)).astype(np.float32))
+    hw = jnp.asarray(rng.uniform(10, 120, (a, 2)).astype(np.float32))
+    return ssd_head.AnchorSet(yx, hw, yx - hw / 2, yx + hw / 2)
+
+
+def test_retina_focal_ca_matches_ac(setenv):
+    from tpudet.heads import retina as retina_head
+
+    rng = np.random.default_rng(2)
+    b, a, g, c = 3, 977, 60, 21
+    anc = _anchors(rng, a)
+    pconf = jnp.asarray(rng.normal(size=(b, a, c)).astype(np.float32))
+    pyx = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32))
+    phw = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32))
+    gt = _gt_batch(rng, b, g, c)
+
+    def loss_fn(pc):
+        return retina_head.retina_loss(pc, pyx, phw, anc, gt, c, 0.25, 2.0)
+
+    outs = {}
+    for layout in ("ac", "ca"):
+        setenv["TPUDET_SSD_CONF_LAYOUT"] = layout
+        outs[layout] = (loss_fn(pconf), jax.grad(loss_fn)(pconf))
+    np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
+    np.testing.assert_allclose(outs["ac"][1], outs["ca"][1], rtol=1e-4, atol=1e-6)
+
+
+def test_refine_loss_ca_matches_ac(setenv):
+    from tpudet.heads import refine as refine_head
+
+    rng = np.random.default_rng(3)
+    b, a, g, c = 3, 977, 60, 21
+    anc = _anchors(rng, a)
+    arm_yx = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32) * 0.1)
+    arm_hw = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32) * 0.1)
+    arm_conf = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32))
+    odm_yx = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32) * 0.1)
+    odm_hw = jnp.asarray(rng.normal(size=(b, a, 2)).astype(np.float32) * 0.1)
+    odm_conf = jnp.asarray(rng.normal(size=(b, a, c)).astype(np.float32))
+    gt = _gt_batch(rng, b, g, c)
+
+    def loss_fn(ac_, oc_):
+        return refine_head.refine_loss(arm_yx, arm_hw, ac_, odm_yx, odm_hw, oc_,
+                                       anc, gt, c)
+
+    outs = {}
+    for layout in ("ac", "ca"):
+        setenv["TPUDET_SSD_CONF_LAYOUT"] = layout
+        outs[layout] = (loss_fn(arm_conf, odm_conf),
+                        jax.grad(loss_fn, argnums=(0, 1))(arm_conf, odm_conf))
+    np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
+    for g_ac, g_ca in zip(outs["ac"][1], outs["ca"][1]):
+        np.testing.assert_allclose(g_ac, g_ca, rtol=1e-4, atol=1e-6)

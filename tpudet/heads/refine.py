@@ -18,6 +18,7 @@ background, then per-class NMS.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -30,6 +31,7 @@ from tpudet.ops import anchors as anchor_ops
 from tpudet.ops import boxes as box_ops
 from tpudet.ops import losses as loss_ops
 from tpudet.ops import matching, nms
+from tpudet.heads import ssd as ssd_head
 from tpudet.heads.ssd import AnchorSet
 
 ANCHOR_RATIOS = (0.5, 1.0, 2.0)
@@ -266,8 +268,6 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
     neg_arm_ce [A], neg [A], chosen, arm_bg_logit [A], odm_bg_ce [A])."""
     g = matching.unpack_gt(gt)
     best_anchor, max_agiou, rg, best_set = assign
-    arm_lp = loss_ops.log_softmax(arm_conf)
-    odm_lp = loss_ops.log_softmax(odm_conf)
 
     vmask = g.valid.astype(jnp.float32)
     other = jnp.logical_not(best_set)
@@ -280,9 +280,30 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
     ghw_safe = jnp.maximum(g.hw, 1e-8)
 
     # ------------------------------------------------------------- ARM stage
-    # positive rows: best (per gt) + pos anchors; ARM class target is 0 = object
-    best_arm_ce = -arm_lp[best_anchor, 0]
-    pos_arm_ce = -arm_lp[:, 0]
+    # positive rows: best (per gt) + pos anchors; ARM class target is 0 = object.
+    # CE readouts in the lane-friendly [C, A] layout by default (the ARM's
+    # C=2 / ODM's C=21 minor axis pads to 128 TPU lanes — see
+    # heads/ssd.py:_conf_ce_terms and the BASELINE.md round-4 perf note);
+    # TPUDET_SSD_CONF_LAYOUT=ac reverts to the reference-shaped form.
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        arm_ca = arm_conf.T  # [2, A]
+        m = jnp.max(arm_ca, axis=0)
+        logz = m + jnp.log(jnp.sum(jnp.exp(arm_ca - m[None, :]), axis=0))
+        arm_lp0 = arm_ca[0] - logz
+        arm_lp1 = arm_ca[1] - logz
+        a = arm_conf.shape[0]
+        best_oh = (
+            best_anchor[:, None] == jnp.arange(a, dtype=best_anchor.dtype)
+        ).astype(jnp.float32)  # [G, A]
+        best_arm_ce = -jnp.einsum("ga,a->g", best_oh, arm_lp0,
+                                  precision=jax.lax.Precision.HIGHEST)
+        pos_arm_ce = -arm_lp0
+        neg_arm_ce_all = -arm_lp1
+    else:
+        arm_lp = loss_ops.log_softmax(arm_conf)
+        best_arm_ce = -arm_lp[best_anchor, 0]
+        pos_arm_ce = -arm_lp[:, 0]
+        neg_arm_ce_all = -arm_lp[:, 1]
     arm_conf_loss = (jnp.sum(best_arm_ce * vmask) + jnp.sum(pos_arm_ce * pos_f)) / denom
 
     bt_yx, bt_hw = box_ops.encode(g.yx, ghw_safe, anc.yx[best_anchor],
@@ -297,13 +318,16 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
     arm_coord_loss = (jnp.sum(best_arm_coord * vmask) + jnp.sum(pos_arm_coord * pos_f)) / denom
 
     # hard-negative candidates: the NMS itself runs batched outside the vmap
-    neg_arm_ce = -arm_lp[:, 1]
+    neg_arm_ce = neg_arm_ce_all
     num_neg = jnp.sum(neg.astype(jnp.int32))
     chosen = jnp.minimum(num_neg, 3 * num_pos_int)
 
     # ------------------------------------------------------------- ODM stage
-    best_odm_ce = loss_ops.ce_from_log_probs(odm_lp[best_anchor], g.label)
-    pos_odm_ce = loss_ops.ce_from_log_probs(odm_lp, rg_label)
+    # same three readouts as the SSD conf block — shares its layout-optimized
+    # helper (heads/ssd.py:_conf_ce_terms; odm_neg_ce = CE at the background
+    # class, returned to the caller for the ARM-easy negative filter)
+    best_odm_ce, pos_odm_ce, odm_neg_ce = ssd_head._conf_ce_terms(
+        odm_conf, best_anchor, g.label, rg_label, num_classes_total)
     odm_conf_loss = (jnp.sum(best_odm_ce * vmask) + jnp.sum(pos_odm_ce * pos_f)) / denom
 
     # ODM box targets vs ARM-refined boxes
@@ -321,8 +345,7 @@ def _image_terms(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf,
     odm_coord_loss = (jnp.sum(best_odm_coord * vmask) + jnp.sum(pos_odm_coord * pos_f)) / denom
 
     pos_loss = arm_conf_loss + arm_coord_loss + odm_conf_loss + odm_coord_loss
-    return (pos_loss, neg_arm_ce, neg, chosen, arm_conf[:, 1],
-            -odm_lp[:, num_classes_total - 1])
+    return (pos_loss, neg_arm_ce, neg, chosen, arm_conf[:, 1], odm_neg_ce)
 
 
 def refine_loss(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: AnchorSet,

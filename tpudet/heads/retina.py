@@ -19,6 +19,7 @@ RetinaNet.py:223-256).
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 import jax
@@ -102,14 +103,59 @@ def _focal_rowwise(pconf, labels, alpha, gamma):
     return -alpha * jnp.power(1.0 - p, gamma) * jnp.log(p)
 
 
+def _focal_from_logp(logp, alpha, gamma):
+    p = jnp.clip(jnp.exp(logp), 1e-8, 1.0)
+    return -alpha * jnp.power(1.0 - p, gamma) * jnp.log(p)
+
+
+def _conf_focal_terms(pconf, best_anchor, g_label, rg_label, num_classes_total: int,
+                      alpha, gamma):
+    """The three focal readouts (per-gt best-anchor, per-anchor assigned-label,
+    per-anchor background) off the [A, C] class logits.
+
+    Default ``ca`` layout: ONE log-softmax in [C, A] (classes on sublanes, the
+    ~49k anchors on lanes) serves all three terms, instead of three separate
+    softmaxes over [A, C=21] whose minor class axis pads to 128 TPU lanes (6.1x
+    HBM waste per materialization, fwd and bwd) — the same lever that took the
+    SSD300 bench +8.4% (heads/ssd.py:_conf_ce_terms, BASELINE.md round-4 perf
+    note). ``TPUDET_SSD_CONF_LAYOUT=ac`` reverts to the reference-shaped form;
+    values agree to fp reduction order (tests/test_ssd_conf_layout.py)."""
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        c = num_classes_total
+        pconf_ca = pconf.T  # [C, A]
+        m = jnp.max(pconf_ca, axis=0)
+        logz = m + jnp.log(jnp.sum(jnp.exp(pconf_ca - m[None, :]), axis=0))
+        log_probs_ca = pconf_ca - logz[None, :]
+        cls_plane = jnp.arange(c, dtype=jnp.int32)[:, None]
+        po_logp = jnp.sum(
+            jnp.where(rg_label[None, :].astype(jnp.int32) == cls_plane,
+                      log_probs_ca, 0.0), axis=0)
+        po_focal = _focal_from_logp(po_logp, alpha, gamma)
+        bg_focal = _focal_from_logp(log_probs_ca[c - 1], alpha, gamma)
+        a = pconf.shape[0]
+        best_oh = (
+            best_anchor[:, None] == jnp.arange(a, dtype=best_anchor.dtype)
+        ).astype(jnp.float32)  # [G, A]
+        best_lp = jnp.einsum("ga,ca->gc", best_oh, log_probs_ca,
+                             precision=jax.lax.Precision.HIGHEST)
+        best_logp = jnp.take_along_axis(
+            best_lp, g_label[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        best_focal = _focal_from_logp(best_logp, alpha, gamma)
+        return best_focal, po_focal, bg_focal
+    a = pconf.shape[0]
+    best_focal = _focal_rowwise(pconf[best_anchor], g_label, alpha, gamma)
+    po_focal = _focal_rowwise(pconf, rg_label, alpha, gamma)
+    bg_focal = _focal_rowwise(
+        pconf, jnp.full((a,), num_classes_total - 1, jnp.int32), alpha, gamma)
+    return best_focal, po_focal, bg_focal
+
+
 def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, assign,
                 num_classes_total: int, alpha: float, gamma: float):
     g = matching.unpack_gt(gt)
-    a = anc.y1x1.shape[0]
     best_anchor, best_agiou, rg, best_set = assign
 
     vmask = g.valid.astype(jnp.float32)
-    best_focal = _focal_rowwise(pconf[best_anchor], g.label, alpha, gamma)
     t_yx, t_hw = box_ops.encode(g.yx, jnp.maximum(g.hw, 1e-8),
                                 anc.yx[best_anchor], anc.hw[best_anchor])
     best_coord = (jnp.sum(loss_ops.smooth_l1(pyx[best_anchor] - t_yx), -1)
@@ -122,13 +168,12 @@ def _image_loss(pyx, phw, pconf, anc: AnchorSet, gt, assign,
     neg_f = neg.astype(jnp.float32)
 
     rg_label, rg_yx, rg_hw = matching.gather_gt_rows(rg, g.label, g.yx, g.hw)
-    po_focal = _focal_rowwise(pconf, rg_label, alpha, gamma)
+    best_focal, po_focal, bg_focal = _conf_focal_terms(
+        pconf, best_anchor, g.label, rg_label, num_classes_total, alpha, gamma)
     po_t_yx, po_t_hw = box_ops.encode(rg_yx, jnp.maximum(rg_hw, 1e-8),
                                       anc.yx, anc.hw)
     po_coord = (jnp.sum(loss_ops.smooth_l1(pyx - po_t_yx), -1)
                 + jnp.sum(loss_ops.smooth_l1(phw - po_t_hw), -1))
-    bg_focal = _focal_rowwise(
-        pconf, jnp.full((a,), num_classes_total - 1, jnp.int32), alpha, gamma)
 
     num_pos = g.count.astype(jnp.float32) + jnp.sum(pos_f)
     denom = jnp.maximum(num_pos, 1e-8)
