@@ -383,15 +383,23 @@ def refine_decode(arm_yx, arm_hw, arm_conf, odm_yx, odm_hw, odm_conf, anc: Ancho
                   num_classes_total: int, score_threshold: float, iou_threshold: float,
                   max_boxes: int, pre_topk: int = 200):
     """Single-image cascade decode (RefineDet.py:185-226)."""
-    armp = jax.nn.softmax(arm_conf, -1)
-    odmp = jax.nn.softmax(odm_conf, -1)
-    keep = jnp.logical_and(armp[:, 1] < 0.99,
-                           jnp.argmax(odmp, -1) < num_classes_total - 1)
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        # [C, A] scoring, as in ssd_decode (per_class_nms wants [C, A] anyway)
+        armp_ca = jax.nn.softmax(arm_conf.T, axis=0)
+        odmp_ca = jax.nn.softmax(odm_conf.T, axis=0)
+        keep = jnp.logical_and(armp_ca[1] < 0.99,
+                               jnp.argmax(odmp_ca, 0) < num_classes_total - 1)
+        class_scores = odmp_ca[: num_classes_total - 1]
+    else:
+        armp = jax.nn.softmax(arm_conf, -1)
+        odmp = jax.nn.softmax(odm_conf, -1)
+        keep = jnp.logical_and(armp[:, 1] < 0.99,
+                               jnp.argmax(odmp, -1) < num_classes_total - 1)
+        class_scores = odmp[:, : num_classes_total - 1].T
     a_yx, a_hw = box_ops.decode(arm_yx, arm_hw, anc.yx, anc.hw)
     o_yx, o_hw = box_ops.decode(odm_yx, odm_hw, a_yx, a_hw)
     y1x1, y2x2 = box_ops.center_to_corners(o_yx, o_hw)
     boxes = jnp.concatenate([y1x1, y2x2], -1)
-    class_scores = odmp[:, : num_classes_total - 1].T
     sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes, class_scores, score_threshold, pre_topk, max_boxes, iou_threshold,
         class_active=keep)

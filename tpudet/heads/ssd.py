@@ -234,13 +234,20 @@ def ssd_decode(pconf, pyx, phw, anc: AnchorSet, score_threshold: float,
     per-class blocks are concatenated in class order like the reference.
     """
     num_classes_total = pconf.shape[-1]
-    conf = jax.nn.softmax(pconf, axis=-1)
-    arg = jnp.argmax(conf, axis=-1)
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        # score softmax/argmax in [C, A] (per_class_nms wants [C, A] anyway;
+        # the [A, C=21] form pads its minor class axis to 128 TPU lanes)
+        conf_ca = jax.nn.softmax(pconf.T, axis=0)
+        arg = jnp.argmax(conf_ca, axis=0)
+        class_scores = conf_ca[: num_classes_total - 1]
+    else:
+        conf = jax.nn.softmax(pconf, axis=-1)
+        arg = jnp.argmax(conf, axis=-1)
+        class_scores = conf[:, : num_classes_total - 1].T  # [C, A]
     not_bg = arg < num_classes_total - 1  # drop argmax==background rows (:160-162)
     byx, bhw = box_ops.decode(pyx, phw, anc.yx, anc.hw)
     y1x1, y2x2 = box_ops.center_to_corners(byx, bhw)
     boxes4 = jnp.concatenate([y1x1, y2x2], -1)
-    class_scores = conf[:, : num_classes_total - 1].T  # [C, A]
     sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes4, class_scores, score_threshold, pre_topk, max_boxes, iou_threshold,
         class_active=not_bg,
