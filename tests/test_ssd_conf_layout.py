@@ -138,3 +138,41 @@ def test_refine_loss_ca_matches_ac(setenv):
     np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
     for g_ac, g_ca in zip(outs["ac"][1], outs["ca"][1]):
         np.testing.assert_allclose(g_ac, g_ca, rtol=1e-4, atol=1e-6)
+
+
+def test_fcos_loss_ca_matches_ac(setenv):
+    from tpudet.heads import fcos as fcos_head
+
+    rng = np.random.default_rng(4)
+    b, g, c = 2, 24, 21
+    # level shapes for a 128x192 input: strides 8..128
+    shapes = [(16, 24), (8, 12), (4, 6), (2, 3), (1, 2)]
+    level_preds = []
+    for fh, fw in shapes:
+        pconf = jnp.asarray(rng.normal(size=(b, fh, fw, c - 1)).astype(np.float32))
+        preg = jnp.asarray(np.exp(rng.normal(size=(b, fh, fw, 4))).astype(np.float32))
+        pcen = jnp.asarray(rng.normal(size=(b, fh, fw, 1)).astype(np.float32))
+        level_preds.append((pconf, preg, pcen))
+    gt = -np.ones((b, g, 5), np.float32)
+    for i in range(b):
+        for k in range(5):
+            h, w = rng.uniform(20, 500, 2)
+            gt[i, k] = [rng.uniform(h / 2, 1000 - h / 2),
+                        rng.uniform(w / 2, 1500 - w / 2), h, w,
+                        rng.integers(0, c - 1)]
+    gt = jnp.asarray(gt)
+
+    def loss_fn(lp):
+        return fcos_head.fcos_loss(lp, gt, c - 1)
+
+    outs = {}
+    for layout in ("ac", "ca"):
+        setenv["TPUDET_SSD_CONF_LAYOUT"] = layout
+        grads = jax.grad(lambda flat: loss_fn(
+            [(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
+             for i in range(len(shapes))]
+        ))([t for lvl in level_preds for t in lvl])
+        outs[layout] = (loss_fn(level_preds), grads)
+    np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
+    for g_ac, g_ca in zip(outs["ac"][1], outs["ca"][1]):
+        np.testing.assert_allclose(g_ac, g_ca, rtol=1e-4, atol=1e-6)

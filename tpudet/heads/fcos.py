@@ -17,6 +17,8 @@ heatmaps; we guard the division, documented deviation).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -102,6 +104,10 @@ def _level_loss(pconf, preg, pcenter, g: matching.GtArrays, band, stride,
     gy1, gy2 = gy - gh / 2.0, gy + gh / 2.0
     gx1, gx2 = gx - gw / 2.0, gx + gw / 2.0
 
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        return _level_loss_gp(pconf, preg, pcenter, g, routed,
+                              (gy1, gy2, gx1, gx2), num_classes)
+
     yy = jnp.arange(fh, dtype=jnp.float32)[:, None, None]
     xx = jnp.arange(fw, dtype=jnp.float32)[None, :, None]
     dist_l = xx - gx1[None, None, :]
@@ -145,6 +151,75 @@ def _level_loss(pconf, preg, pcenter, g: matching.GtArrays, band, stride,
     s = jax.nn.sigmoid(pconf)
     log_s = jax.nn.log_sigmoid(pconf)
     log_1ms = -pconf + log_s
+    pos = -0.25 * jnp.square(1.0 - s) * log_s * heat_gt
+    neg = -0.25 * jnp.square(s) * log_1ms * (1.0 - heat_gt)
+    heat_loss = jnp.sum(pos) + jnp.sum(neg)
+
+    denom = jnp.sum(heat_gt)
+    has_gt = jnp.any(routed)
+    total = (iou_loss + heat_loss + center_loss) / jnp.maximum(denom, 1e-8)
+    return jnp.where(jnp.logical_and(has_gt, denom > 0.0), total, 0.0)
+
+
+def _level_loss_gp(pconf, preg, pcenter, g: matching.GtArrays, routed, gboxes,
+                   num_classes):
+    """The level loss in TPU-lane-friendly layouts: the per-gt mask planes as
+    [G, P=fh*fw] (G on sublanes, every cell on lanes) instead of [fh, fw, G]
+    (minor gt-pad axis padded to 128 lanes, ~5x HBM waste per materialization
+    of the ~10 mask/distance planes), and the focal heatmap block as [C, P]
+    instead of [fh, fw, C]. heat_gt's per-class Python loop becomes one 0/1
+    one-hot matmul on the MXU ([C,G] @ [G,P] > 0 — exact for 0/1 masks).
+    Same math term-for-term as the [fh, fw, ...] form above; values agree to
+    fp reduction order (tests/test_ssd_conf_layout.py::test_fcos_loss_ca).
+    BASELINE.md round-4 perf note has the layout-lever context."""
+    gy1, gy2, gx1, gx2 = gboxes
+    fh, fw = pconf.shape[0], pconf.shape[1]
+    p = fh * fw
+    yy = jnp.repeat(jnp.arange(fh, dtype=jnp.float32), fw)  # [P]
+    xx = jnp.tile(jnp.arange(fw, dtype=jnp.float32), fh)    # [P]
+    dist_l = xx[None, :] - gx1[:, None]                     # [G, P]
+    dist_r = gx2[:, None] - xx[None, :]
+    dist_t = yy[None, :] - gy1[:, None]
+    dist_b = gy2[:, None] - yy[None, :]
+    inside = (dist_t > 0.0) & (dist_b > 0.0) & (dist_l > 0.0) & (dist_r > 0.0)
+    heatmask = jnp.logical_and(inside, routed[:, None]).astype(jnp.float32)
+    dist_l = dist_l * heatmask
+    dist_r = dist_r * heatmask
+    dist_t = dist_t * heatmask
+    dist_b = dist_b * heatmask
+    loc = jnp.max(heatmask, axis=0)                         # [P]
+    dist_area = (dist_l + dist_r) * (dist_t + dist_b)
+    dist_area_ = dist_area + (1.0 - heatmask) * 1e8
+    area_min = jnp.min(dist_area_, axis=0, keepdims=True)
+    dist_mask = (dist_area == area_min).astype(jnp.float32) * loc[None, :]
+    dl = jnp.max(dist_l * dist_mask, 0)                     # [P]
+    dr = jnp.max(dist_r * dist_mask, 0)
+    dt = jnp.max(dist_t * dist_mask, 0)
+    db = jnp.max(dist_b * dist_mask, 0)
+
+    pl, pr, pt, pb = (preg[..., i].reshape(p) for i in range(4))
+    inter = (jnp.minimum(dl, pl) + jnp.minimum(dr, pr)) * \
+            (jnp.minimum(dt, pt) + jnp.minimum(db, pb))
+    union = (dl + dr) * (dt + db) + (pl + pr) * (pt + pb) - inter
+    iou = inter / (union + 1e-12)
+    iou_loss = jnp.sum(-jnp.log(iou + 1e-12) * loc)
+
+    lr_min, lr_max = jnp.minimum(dl, dr), jnp.maximum(dl, dr)
+    tb_min, tb_max = jnp.minimum(dt, db), jnp.maximum(dt, db)
+    center_gt = jnp.sqrt(lr_min * tb_min / (lr_max * tb_max + 1e-12))
+    cp = pcenter[..., 0].reshape(p)
+    center_loss = jnp.sum(jnp.maximum(cp, 0.0) - cp * center_gt
+                          + jnp.log1p(jnp.exp(-jnp.abs(cp))))
+
+    label_oh = (
+        jnp.arange(num_classes, dtype=jnp.int32)[:, None]
+        == g.label[None, :].astype(jnp.int32)
+    ).astype(jnp.float32)                                   # [C, G]
+    heat_gt = (jnp.matmul(label_oh, heatmask) > 0.0).astype(jnp.float32)  # [C, P]
+    pconf_cp = pconf.reshape(p, num_classes).T              # [C, P]
+    s = jax.nn.sigmoid(pconf_cp)
+    log_s = jax.nn.log_sigmoid(pconf_cp)
+    log_1ms = -pconf_cp + log_s
     pos = -0.25 * jnp.square(1.0 - s) * log_s * heat_gt
     neg = -0.25 * jnp.square(s) * log_1ms * (1.0 - heat_gt)
     heat_loss = jnp.sum(pos) + jnp.sum(neg)
