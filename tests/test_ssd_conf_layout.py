@@ -176,3 +176,33 @@ def test_fcos_loss_ca_matches_ac(setenv):
     np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
     for g_ac, g_ca in zip(outs["ac"][1], outs["ca"][1]):
         np.testing.assert_allclose(g_ac, g_ca, rtol=1e-4, atol=1e-6)
+
+
+def test_centernet_loss_ca_matches_ac(setenv):
+    from tpudet.heads import centernet as cn_head
+
+    rng = np.random.default_rng(5)
+    b, g, c, h, w = 2, 24, 20, 24, 32
+    keyp = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    off = jnp.asarray(rng.normal(size=(b, h, w, 2)).astype(np.float32))
+    size = jnp.asarray(np.exp(rng.normal(size=(b, h, w, 2))).astype(np.float32))
+    gt = -np.ones((b, g, 5), np.float32)
+    for i in range(b):
+        for k in range(5):
+            bh, bw = rng.uniform(10, 60, 2)
+            gt[i, k] = [rng.uniform(bh / 2, 4 * h - bh / 2),
+                        rng.uniform(bw / 2, 4 * w - bw / 2), bh, bw,
+                        rng.integers(0, c)]
+    gt = jnp.asarray(gt)
+
+    def loss_fn(kp, of, sz):
+        return cn_head.centernet_loss(kp, of, sz, gt, c)
+
+    outs = {}
+    for layout in ("ac", "ca"):
+        setenv["TPUDET_SSD_CONF_LAYOUT"] = layout
+        outs[layout] = (loss_fn(keyp, off, size),
+                        jax.grad(loss_fn, argnums=(0, 1, 2))(keyp, off, size))
+    np.testing.assert_allclose(outs["ac"][0], outs["ca"][0], rtol=1e-5)
+    for g_ac, g_ca in zip(outs["ac"][1], outs["ca"][1]):
+        np.testing.assert_allclose(g_ac, g_ca, rtol=1e-4, atol=1e-6)

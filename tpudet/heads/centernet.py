@@ -15,6 +15,8 @@ score filter + global top-k; NO box NMS.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -70,28 +72,57 @@ def centernet_image_loss(keypoints, offset, size, gt, num_classes, stride=4.0):
 
     # --- keypoint focal loss ---
     sigma = _gaussian_sigma(nhw[:, 0], nhw[:, 1], g.valid)
-    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    d2 = (nyx[:, 0][:, None, None] - yy) ** 2 + (nyx[:, 1][:, None, None] - xx) ** 2
-    gauss = jnp.exp(-d2 / (2.0 * sigma ** 2))          # [G, h, w]
-    gauss = jnp.where(g.valid[:, None, None], gauss, 0.0)
+    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+        # [C, P=h*w] layout: classes on sublanes, every cell on lanes, instead
+        # of [h, w, C=20] whose minor class axis pads to 128 lanes (6.4x HBM
+        # waste across the ~6 focal-block materializations, fwd and bwd); the
+        # gaussian planes ride [G, P] (full lanes vs w=96 -> 128). Same math
+        # as the [h, w, C] branch below; see BASELINE.md round-4 perf note.
+        p = h * w
+        yy = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)  # [P]
+        xx = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)    # [P]
+        d2 = ((nyx[:, 0][:, None] - yy[None, :]) ** 2
+              + (nyx[:, 1][:, None] - xx[None, :]) ** 2)      # [G, P]
+        gauss = jnp.exp(-d2 / (2.0 * sigma ** 2))  # sigma is the global-min scalar
+        gauss = jnp.where(g.valid[:, None], gauss, 0.0)
+        reduction = jnp.stack([
+            jnp.max(jnp.where(jnp.logical_and(g.label == ci, g.valid)[:, None],
+                              gauss, 0.0), axis=0)
+            for ci in range(num_classes)
+        ], axis=0)                                            # [C, P]
+        gt_keyp = jnp.zeros((num_classes, p)).at[g.label, cy * w + cx].max(
+            g.valid.astype(jnp.float32))
+        kp = keypoints.reshape(p, num_classes).T              # [C, P]
+        s = jax.nn.sigmoid(kp)
+        log_s = jax.nn.log_sigmoid(kp)
+        log_1ms = -kp + log_s  # log(1 - sigmoid(k))
+        pos = -jnp.square(1.0 - s) * log_s * gt_keyp
+        neg = (-jnp.power(1.0 - reduction, 4.0) * jnp.square(s) * log_1ms
+               * (1.0 - gt_keyp))
+        keyp_loss = (jnp.sum(pos) + jnp.sum(neg)) / num_g
+    else:
+        yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        d2 = (nyx[:, 0][:, None, None] - yy) ** 2 + (nyx[:, 1][:, None, None] - xx) ** 2
+        gauss = jnp.exp(-d2 / (2.0 * sigma ** 2))          # [G, h, w]
+        gauss = jnp.where(g.valid[:, None, None], gauss, 0.0)
 
-    # reduction [h,w,C] = per-class max of gaussians (class loop avoids a [G,h,w,C]
-    # temporary that would dominate HBM at batch scale)
-    reduction = jnp.stack([
-        jnp.max(jnp.where(jnp.logical_and(g.label == ci, g.valid)[:, None, None],
-                          gauss, 0.0), axis=0)
-        for ci in range(num_classes)
-    ], axis=-1)
-    gt_keyp = jnp.zeros((h, w, num_classes)).at[cy, cx, g.label].max(
-        g.valid.astype(jnp.float32))
+        # reduction [h,w,C] = per-class max of gaussians (class loop avoids a
+        # [G,h,w,C] temporary that would dominate HBM at batch scale)
+        reduction = jnp.stack([
+            jnp.max(jnp.where(jnp.logical_and(g.label == ci, g.valid)[:, None, None],
+                              gauss, 0.0), axis=0)
+            for ci in range(num_classes)
+        ], axis=-1)
+        gt_keyp = jnp.zeros((h, w, num_classes)).at[cy, cx, g.label].max(
+            g.valid.astype(jnp.float32))
 
-    s = jax.nn.sigmoid(keypoints)
-    log_s = jax.nn.log_sigmoid(keypoints)
-    log_1ms = -keypoints + log_s  # log(1 - sigmoid(k))
-    pos = -jnp.square(1.0 - s) * log_s * gt_keyp
-    neg = -jnp.power(1.0 - reduction, 4.0) * jnp.square(s) * log_1ms * (1.0 - gt_keyp)
-    keyp_loss = (jnp.sum(pos) + jnp.sum(neg)) / num_g
+        s = jax.nn.sigmoid(keypoints)
+        log_s = jax.nn.log_sigmoid(keypoints)
+        log_1ms = -keypoints + log_s  # log(1 - sigmoid(k))
+        pos = -jnp.square(1.0 - s) * log_s * gt_keyp
+        neg = -jnp.power(1.0 - reduction, 4.0) * jnp.square(s) * log_1ms * (1.0 - gt_keyp)
+        keyp_loss = (jnp.sum(pos) + jnp.sum(neg)) / num_g
 
     # --- offset / size L1 at center cells (means over [n, 2]) ---
     offset_gt = nyx - cell
