@@ -89,7 +89,11 @@ def test_two_process_dcn_matches_single_process(tmp_path):
 
     fp = dict(fingerprint(model.params)[:8])
     for name, val in results[0]["fingerprint"]:
-        assert val == pytest.approx(fp[name], rel=5e-4), name
+        # abs floor: fingerprint entries are param-tree means; fresh BN biases
+        # sit at ~1e-7 after a few steps, where rel-only tolerance amplifies
+        # fp-reduction noise between the two compiled programs into spurious
+        # failures (observed: 2.807e-7 vs 2.862e-7, abs diff 5e-9)
+        assert val == pytest.approx(fp[name], rel=5e-4, abs=1e-7), name
 
     # 4) device-resident scan epoch: the 2-process distributed scan (one lax.scan
     #    dispatch, per-device shard_map gathers — asserted inside the worker)
@@ -118,6 +122,6 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     # 2-process scan vs single-process scan
     assert results[0]["scan_loss"] == pytest.approx(losses[0], rel=2e-4)
     for name, val in results[0]["scan_fingerprint"]:
-        assert val == pytest.approx(prints[0][name], rel=5e-4), name
+        assert val == pytest.approx(prints[0][name], rel=5e-4, abs=1e-7), name
     for name, val in prints[1].items():
-        assert val == pytest.approx(prints[0][name], rel=5e-4), name
+        assert val == pytest.approx(prints[0][name], rel=5e-4, abs=1e-7), name
