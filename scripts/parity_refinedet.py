@@ -113,4 +113,7 @@ def compare(score_threshold=0.1):
 
 
 if __name__ == "__main__":
-    print(compare())
+    import json
+
+    thr = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    print("PARITY_JSON " + json.dumps(compare(score_threshold=thr)))

@@ -10,11 +10,14 @@ End-to-end (weights copied, image through both conv stacks) agreement is limited
 by conv accumulation-order numerics (oneDNN vs XLA), checked more loosely.
 """
 
+import os
 import sys
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -144,13 +147,29 @@ def test_centernet_decode_box_for_box():
 
 
 def test_refinedet_decode_box_for_box():
-    """RefineDet ARM->ODM cascade decode vs the running reference: exact."""
-    pytest.importorskip("tensorflow")
-    sys.path.insert(0, "scripts")
-    from parity_refinedet import compare
+    """RefineDet ARM->ODM cascade decode vs the running reference: exact.
 
-    # random-weight logits are near-uniform; threshold below 1/21 yields detections
-    report = compare(score_threshold=0.048)
+    Runs in a fresh SINGLE-THREADED subprocess: the harness clips the random
+    head logits to [-4, 4], which creates exact score ties, so tie-break parity
+    is load-bearing — and the reference convs' Eigen reduction order varies
+    with in-process thread-pool state under a loaded host (observed: passes
+    solo, one flake in a full concurrent suite run). Pinning threads makes the
+    head-tensor draw identical every run."""
+    pytest.importorskip("tensorflow")
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "OMP_NUM_THREADS": "1",
+                "TF_NUM_INTRAOP_THREADS": "1", "TF_NUM_INTEROP_THREADS": "1"})
+    # threshold below the near-uniform 1/21 logit mass yields detections
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "parity_refinedet.py"),
+         "0.048"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    line = [l for l in out.stdout.splitlines() if l.startswith("PARITY_JSON ")]
+    assert line, f"no report:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    report = _json.loads(line[-1][len("PARITY_JSON "):])
     assert report["ok"], report
 
 
