@@ -60,9 +60,11 @@ def profile_model(name, spec, n=10, warmup=3):
     sample_weight = model._sample_weight()
     from tpudet.models.base import global_l2
 
+    augment_fused = not getattr(model, "_augment_split", False)
+
     def fwd(params, bstats, imgs, s):
         x = imgs.astype(jnp.float32)
-        if not model._augment_split:
+        if augment_fused:
             x, _ = model._device_augment(x, dgt, s)
         x = model._preprocess(x)
         return net.apply({"params": params, "batch_stats": bstats}, x, True,
@@ -70,7 +72,7 @@ def profile_model(name, spec, n=10, warmup=3):
 
     def forward_loss(params, bstats, imgs, g, s):
         x = imgs.astype(jnp.float32)
-        if not model._augment_split:
+        if augment_fused:
             x, g = model._device_augment(x, g, s)
         x = model._preprocess(x)
         outputs, mut = net.apply({"params": params, "batch_stats": bstats}, x,
@@ -80,9 +82,13 @@ def profile_model(name, spec, n=10, warmup=3):
 
     jfwd = jax.jit(fwd)
     jfl = jax.jit(lambda p, b, i, g, s: forward_loss(p, b, i, g, s)[0])
+    # the grads MUST be jit outputs: returning only the loss lets XLA dead-code
+    # -eliminate the whole transpose, timing 'grad' == 'fwd+loss' (round-4
+    # ADVICE finding). sync() fetches one scalar; completion of the dispatched
+    # program covers every output.
     jgrad = jax.jit(
         lambda p, b, i, g, s: jax.value_and_grad(forward_loss, has_aux=True)(
-            p, b, i, g, s)[0][0])
+            p, b, i, g, s))  # ((loss, aux), grads) — all live
 
     def sync(out):
         leaf = jax.tree.leaves(out)[0]

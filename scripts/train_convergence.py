@@ -10,7 +10,14 @@ schedule with warmup, loss curve + held-out mAP artifacts under
 
 Usage:
   python scripts/train_convergence.py MODEL [--steps-scale S] [--smoke]
+                                            [--eval-every=N] [--resume]
   python scripts/train_convergence.py all
+
+--eval-every=N: run a held-out mAP evaluation every ~N training steps (on a
+subset of the test split, appended to eval.jsonl in the run dir) so plateau
+claims rest on a CURVE of mAP points, not a single end-of-run number (round-4
+VERDICT missing #2: CenterNet's 0.259@12k -> 0.908@30k proved end-points can
+be wildly misleading).
 """
 
 from __future__ import annotations
@@ -277,6 +284,53 @@ def model_specs():
                                  "post_nms_proposal": 500}),
                         3e-4, 12000,
                         [(0.03, 0.1), (0.80, 1.0), (0.17, 0.1)]),
+        # ------------------------------------------------------ round-5 legs
+        # The Q-FCOS-objective counterfactual (round-4 VERDICT missing #1): the
+        # SAME config as the best FCOS-long leg, with the opt-in standard-form
+        # objective (tpudet/models/fcos.py docstring). If the 0.214 ceiling is
+        # the reference objective's fault, THIS run reaches the family band.
+        "FCOS-consistent": ("tpudet.models.fcos.FCOS", (800, 1200),
+                            _common({"batch_size": 8,
+                                     "data_shape": [800, 1200, 3],
+                                     "chunk_bytes": 13 * 10**8,
+                                     "rotate_every": 6, "gt_pad": 24,
+                                     "consistent_objective": True}),
+                            1e-3, 15000,
+                            [(0.01, 0.1), (0.89, 1.0), (0.07, 0.1),
+                             (0.03, 0.01)]),
+        # LH-RCNN at the reference's bs32 contract (round-4 weak #5 flagged the
+        # silent bs8 deviation), 24k steps, 4-phase boundaries scaled 2x from
+        # the 12k leg (reference proportions 60k/40k/60k/rest, testlhrcnn.py).
+        # lr 2x the bs8 value (conservative sqrt-ish scaling for the 4x batch).
+        # max_bytes 6G: bs32 activations at 700x1100 need the HBM the bs8 run
+        # gave to residency.
+        "LHRCNN-long2": ("tpudet.models.lhrcnn.LHRCNN", (700, 1100),
+                         _common({"batch_size": 32,
+                                  "data_shape": [700, 1100, 3],
+                                  "chunk_bytes": 13 * 10**8, "rotate_every": 3,
+                                  "max_bytes": 6 * 10**9,
+                                  "gt_pad": 24, "loss_sync_every": 2,
+                                  "is_pretraining": False,
+                                  "rpn_first_step": 10000,
+                                  "rcnn_first_step": 16000,
+                                  "rpn_second_step": 20000,
+                                  "post_nms_proposal": 500}),
+                         6e-4, 24000,
+                         [(0.03, 0.1), (0.80, 1.0), (0.17, 0.1)]),
+        # PFPNetR parity with its RefineDet sibling (round-4 VERDICT #5): the
+        # full reference data contract (pad 60 + split-dispatch augmentation,
+        # proven on RefineDet320-pad60) and an extended-schedule leg.
+        "PFPNetR-pad60": ("tpudet.models.refinedet.PFPNetR", (320, 320),
+                          _common({"batch_size": 32, "input_size": 320,
+                                   "host_feed": True,
+                                   "device_augment_split": True}),
+                          5e-4, 5000, drop),
+        "PFPNetR-long": ("tpudet.models.refinedet.PFPNetR", (320, 320),
+                         _common({"batch_size": 32, "input_size": 320,
+                                  "gt_pad": 24}),
+                         5e-4, 15000,
+                         [(0.02, 0.1), (0.88, 1.0), (0.07, 0.1),
+                          (0.03, 0.01)]),
     }
 
 
@@ -289,7 +343,7 @@ def _load_class(path):
 
 # ----------------------------------------------------------------- training
 def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False,
-              resume: bool = False):
+              resume: bool = False, eval_every: int = 0):
     spec = model_specs()[name]
     cls_path, (h, w), config, base_lr, total_steps, schedule = spec
     total_steps = int(total_steps * steps_scale)
@@ -315,17 +369,19 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False,
         train_gt = train_gt[:, :gt_pad]
     chunk_bytes = config.pop("chunk_bytes", None)
     rotate_every = config.pop("rotate_every", None)
+    max_bytes = config.pop("max_bytes", 10 * 10**9)
     if config.pop("host_feed", False):
         feeder = MemmapFeeder(train_images, train_gt, batch, seed=1)
     elif chunk_bytes is not None:
         # Chunked HBM residency for the big-input models (800x1200 / 700x1100):
         # the dataset exceeds HBM, so K ~chunk_bytes arrays stay resident, each
         # scan dispatch binds ONE of them (no whole-set layout copy), and
-        # rotation streams the non-resident remainder in for full coverage.
+        # rotation streams the non-resident remainder in for full coverage
+        # (uploads double-buffered against the scan dispatch, device_dataset).
         from tpudet.data.device_dataset import DeviceDataset
 
         feeder = DeviceDataset(train_images, train_gt, batch, seed=1,
-                               max_bytes=10 * 10**9, chunk_bytes=chunk_bytes,
+                               max_bytes=max_bytes, chunk_bytes=chunk_bytes,
                                rotate_every=rotate_every)
     else:
         # Device-resident feed: the tunneled host->device path (~100 MB/s, no
@@ -378,6 +434,28 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False,
                 os._exit(93)
 
     threading.Thread(target=_watchdog, daemon=True).start()
+
+    # --eval-every: mid-run held-out mAP points (a 150-image subset keeps each
+    # point to ~10-40 s of device time) appended to eval.jsonl; first call pays
+    # the inference compile. Plateau claims then rest on >=3 mAP points.
+    eval_state = {"records": None, "last": done_steps}
+
+    def _mid_eval():
+        from tpudet.runtime import evaluate
+
+        if eval_state["records"] is None:
+            eval_state["records"] = list(synthvoc.test_records(d))[:150]
+        te = time.time()
+        mAP_i, _ = evaluate.evaluate_model(model, eval_state["records"])
+        rec = {"step": done_steps, "mAP@0.5_voc07": round(float(mAP_i), 4),
+               "eval_images": len(eval_state["records"]),
+               "eval_seconds": round(time.time() - te, 1),
+               "elapsed_s": round(time.time() - t0, 1)}
+        with open(os.path.join(run_dir, "eval.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"\n[{name}] mid-run eval @ {done_steps}: mAP {mAP_i:.4f} "
+              f"({rec['eval_seconds']}s)", flush=True)
+
     for frac, mult in schedule:
         seg_steps = max(1, int(round(total_steps * frac)))
         lr = base_lr * mult
@@ -413,6 +491,10 @@ def run_model(name: str, steps_scale: float = 1.0, smoke: bool = False,
                 last_ckpt = done_steps
                 for p in old:  # keep only the newest periodic ckpt
                     os.unlink(p)
+            if eval_every and done_steps - eval_state["last"] >= eval_every:
+                eval_state["last"] = done_steps
+                _mid_eval()
+                progress["t"] = time.time()  # eval time isn't a feed stall
     curve.close()
     progress["armed"] = False  # eval pace varies; ckpt already safe on disk
     train_secs = time.time() - t0
@@ -460,7 +542,7 @@ def eval_from_checkpoint(name: str):
     meta = json.load(open(os.path.join(run_dir, "ckpt_meta.json")))
     d = synthvoc.build(DATA_ROOT, h, w)
     batch = config["batch_size"]
-    for k in ("gt_pad", "host_feed", "chunk_bytes", "rotate_every"):
+    for k in ("gt_pad", "host_feed", "chunk_bytes", "rotate_every", "max_bytes"):
         config.pop(k, None)
     provider = {"data_shape": [h, w, 3], "num_train": batch, "num_val": 0,
                 "train_generator": iter(()), "val_generator": None}
@@ -496,9 +578,12 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     smoke = "--smoke" in sys.argv
     scale = 1.0
+    eval_every = 0
     for a in sys.argv[1:]:
         if a.startswith("--steps-scale="):
             scale = float(a.split("=")[1])
+        if a.startswith("--eval-every="):
+            eval_every = int(a.split("=")[1])
     names = ALL if (not args or args[0] == "all") else args
     results = []
     for name in names:
@@ -507,7 +592,8 @@ def main():
                 results.append(eval_from_checkpoint(name))
                 continue
             results.append(run_model(name, steps_scale=scale, smoke=smoke,
-                                     resume="--resume" in sys.argv))
+                                     resume="--resume" in sys.argv,
+                                     eval_every=eval_every))
         except Exception as e:  # keep the queue going; record the failure
             import traceback
 

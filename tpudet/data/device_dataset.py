@@ -136,6 +136,7 @@ class DeviceDataset:
         self._pin = None
         self._pin_count = 0
         self._pin_draws = 0  # batches drawn from current pin (per-step path)
+        self._prefetch = None  # (slot, Thread) refreshing the NEXT pin's chunk
         self.distributed = False
 
         def gather(imgs, gt_, idx):
@@ -154,35 +155,72 @@ class DeviceDataset:
                 tuple(jax.device_put(a) for a in self._chunk_host_arrays(rows))
                 for rows in self._slot_rows]
 
-    def _refresh_slot(self, s: int):
+    def _refresh_slot(self, s: int, background: bool = False):
         """Swap part of slot ``s`` with rows from the non-resident pool (one
-        chunk-sized host->device upload); the replaced rows rejoin the pool."""
+        chunk-sized host->device upload); the replaced rows rejoin the pool.
+
+        ``background=True`` does the pool bookkeeping synchronously (cheap) but
+        runs the expensive half — the memmap read + the ~chunk_bytes tunnel
+        upload — on a thread, returning it for the caller to join before the
+        slot is pinned. This is the feed double-buffer (round-4 VERDICT weak
+        #3 / ask #7): the upload for the NEXT pin overlaps the current pin's
+        scan dispatch instead of stalling the step stream."""
         m = min(len(self._pool), self.chunk_rows)
         if m == 0:
-            return
+            return None
         new_ids = np.asarray(self._pool[:m])
         del self._pool[:m]
         old = self._slot_rows[s]
         self._pool.extend(old[:m].tolist())
         self._slot_rows[s] = np.sort(np.concatenate([new_ids, old[m:]]))
-        self._dev_chunks[s] = tuple(
-            jax.device_put(a)
-            for a in self._chunk_host_arrays(self._slot_rows[s]))
-        self._slot_pos[s] = self.chunk_rows  # fresh rows: reshuffle stream
 
-    def _advance_pin(self):
-        self._ensure_chunks_resident()
+        def upload():
+            host = self._chunk_host_arrays(self._slot_rows[s])
+            self._dev_chunks[s] = tuple(jax.device_put(a) for a in host)
+            self._slot_pos[s] = self.chunk_rows  # fresh rows: reshuffle stream
+
+        if background:
+            import threading
+
+            t = threading.Thread(target=upload, daemon=True)
+            t.start()
+            return t
+        upload()
+        return None
+
+    def _next_cycle_slot(self) -> int:
+        """Peek (and if needed re-deal) the cycle at ``_cycle_pos``."""
         if self._cycle_pos >= self.k_chunks:
             self._cycle = self.rng.permutation(self.k_chunks)
             self._cycle_pos = 0
-        s = int(self._cycle[self._cycle_pos])
+        return int(self._cycle[self._cycle_pos])
+
+    def _advance_pin(self):
+        self._ensure_chunks_resident()
+        s = self._next_cycle_slot()
         self._cycle_pos += 1
         self._pin_count += 1
-        if (self._rotate_every and self._pool
+        if self._prefetch is not None:
+            ps, t = self._prefetch
+            t.join()  # the overlapped upload for this (or a later) pin
+            self._prefetch = None
+            prefetched = ps == s
+        else:
+            prefetched = False
+        if (not prefetched and self._rotate_every and self._pool
                 and self._pin_count % self._rotate_every == 0):
             self._refresh_slot(s)
         self._pin = s
         self._pin_draws = 0
+        # double-buffer: if the NEXT pin is due a rotation refresh, start its
+        # upload now so it rides alongside the scan dispatches on this pin
+        if (self._rotate_every and self._pool and self.k_chunks > 1
+                and (self._pin_count + 1) % self._rotate_every == 0):
+            ns = self._next_cycle_slot()
+            if ns != s:
+                t = self._refresh_slot(ns, background=True)
+                if t is not None:
+                    self._prefetch = (ns, t)
 
     def _draw_from_pinned(self, k: int) -> np.ndarray:
         s = self._pin

@@ -91,7 +91,7 @@ class FCOSNet(nn.Module):
 
 
 def _level_loss(pconf, preg, pcenter, g: matching.GtArrays, band, stride,
-                num_classes):
+                num_classes, consistent: bool = False):
     fh, fw = pconf.shape[0], pconf.shape[1]
     size = jnp.sqrt(jnp.maximum(g.hw[:, 0] * g.hw[:, 1], 0.0))
     routed = jnp.logical_and(
@@ -104,9 +104,10 @@ def _level_loss(pconf, preg, pcenter, g: matching.GtArrays, band, stride,
     gy1, gy2 = gy - gh / 2.0, gy + gh / 2.0
     gx1, gx2 = gx - gw / 2.0, gx + gw / 2.0
 
-    if os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
+    if consistent or os.environ.get("TPUDET_SSD_CONF_LAYOUT", "ca") == "ca":
         return _level_loss_gp(pconf, preg, pcenter, g, routed,
-                              (gy1, gy2, gx1, gx2), num_classes)
+                              (gy1, gy2, gx1, gx2), num_classes,
+                              consistent=consistent)
 
     yy = jnp.arange(fh, dtype=jnp.float32)[:, None, None]
     xx = jnp.arange(fw, dtype=jnp.float32)[None, :, None]
@@ -162,7 +163,7 @@ def _level_loss(pconf, preg, pcenter, g: matching.GtArrays, band, stride,
 
 
 def _level_loss_gp(pconf, preg, pcenter, g: matching.GtArrays, routed, gboxes,
-                   num_classes):
+                   num_classes, consistent: bool = False):
     """The level loss in TPU-lane-friendly layouts: the per-gt mask planes as
     [G, P=fh*fw] (G on sublanes, every cell on lanes) instead of [fh, fw, G]
     (minor gt-pad axis padded to 128 lanes, ~5x HBM waste per materialization
@@ -208,8 +209,12 @@ def _level_loss_gp(pconf, preg, pcenter, g: matching.GtArrays, routed, gboxes,
     tb_min, tb_max = jnp.minimum(dt, db), jnp.maximum(dt, db)
     center_gt = jnp.sqrt(lr_min * tb_min / (lr_max * tb_max + 1e-12))
     cp = pcenter[..., 0].reshape(p)
-    center_loss = jnp.sum(jnp.maximum(cp, 0.0) - cp * center_gt
-                          + jnp.log1p(jnp.exp(-jnp.abs(cp))))
+    center_ce = jnp.maximum(cp, 0.0) - cp * center_gt \
+        + jnp.log1p(jnp.exp(-jnp.abs(cp)))
+    # consistent_objective: centerness CE over POSITIVE locations only (the
+    # paper's form) vs the reference's every-cell sum (FCOS.py:322-330) —
+    # the counterfactual for the Q-FCOS-objective ceiling claim (PARITY.md)
+    center_loss = jnp.sum(center_ce * loc) if consistent else jnp.sum(center_ce)
 
     label_oh = (
         jnp.arange(num_classes, dtype=jnp.int32)[:, None]
@@ -220,18 +225,38 @@ def _level_loss_gp(pconf, preg, pcenter, g: matching.GtArrays, routed, gboxes,
     s = jax.nn.sigmoid(pconf_cp)
     log_s = jax.nn.log_sigmoid(pconf_cp)
     log_1ms = -pconf_cp + log_s
+    # consistent_objective: asymmetric focal alpha (0.25 on positives, 0.75 on
+    # negatives — the standard form) vs the reference's symmetric 0.25/0.25
+    neg_alpha = 0.75 if consistent else 0.25
     pos = -0.25 * jnp.square(1.0 - s) * log_s * heat_gt
-    neg = -0.25 * jnp.square(s) * log_1ms * (1.0 - heat_gt)
+    neg = -neg_alpha * jnp.square(s) * log_1ms * (1.0 - heat_gt)
     heat_loss = jnp.sum(pos) + jnp.sum(neg)
 
+    if consistent:
+        # raw per-level terms; fcos_image_loss normalizes ONCE by the image's
+        # total positive-location count (the paper's N_pos), not per level
+        return iou_loss, heat_loss, center_loss, jnp.sum(loc)
     denom = jnp.sum(heat_gt)
     has_gt = jnp.any(routed)
     total = (iou_loss + heat_loss + center_loss) / jnp.maximum(denom, 1e-8)
     return jnp.where(jnp.logical_and(has_gt, denom > 0.0), total, 0.0)
 
 
-def fcos_image_loss(level_preds, gt, num_classes):
+def fcos_image_loss(level_preds, gt, num_classes, consistent: bool = False):
     g = matching.unpack_gt(gt)
+    if consistent:
+        # opt-in `consistent_objective` (non-reference, documented in PARITY.md):
+        # the paper's actual loss — focal cls + IoU reg + positives-only
+        # centerness CE, all normalized by the image's total N_pos
+        iou_l = heat_l = center_l = num_pos = 0.0
+        for (pconf, preg, pcenter), band, stride in zip(level_preds, SIZE_BANDS,
+                                                        STRIDES):
+            i_l, h_l, c_l, n_p = _level_loss(pconf, preg, pcenter, g, band,
+                                             float(stride), num_classes,
+                                             consistent=True)
+            iou_l, heat_l = iou_l + i_l, heat_l + h_l
+            center_l, num_pos = center_l + c_l, num_pos + n_p
+        return (iou_l + heat_l + center_l) / jnp.maximum(num_pos, 1.0)
     loss = 0.0
     for (pconf, preg, pcenter), band, stride in zip(level_preds, SIZE_BANDS, STRIDES):
         loss = loss + _level_loss(pconf, preg, pcenter, g, band, float(stride),
@@ -239,18 +264,21 @@ def fcos_image_loss(level_preds, gt, num_classes):
     return loss
 
 
-def fcos_loss(level_preds, gt, num_classes, sample_weight=None):
+def fcos_loss(level_preds, gt, num_classes, sample_weight=None,
+              consistent: bool = False):
     per_image = jax.vmap(lambda *flat: fcos_image_loss(
         [(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2]) for i in range(len(level_preds))],
-        flat[-1], num_classes
+        flat[-1], num_classes, consistent=consistent
     ))(*[t for lvl in level_preds for t in lvl], gt)
     from tpudet.ops import losses as loss_ops
     return loss_ops.weighted_mean(per_image, sample_weight)
 
 
 def fcos_decode(level_preds, num_classes, score_threshold, iou_threshold, max_boxes,
-                pre_topk=200):
-    """Single-image decode (FCOS.py:196-264); Q9: class num_classes-1 never emitted."""
+                pre_topk=200, emit_all_classes: bool = False):
+    """Single-image decode (FCOS.py:196-264); Q9: class num_classes-1 never emitted
+    (``emit_all_classes`` — set by the opt-in ``consistent_objective`` mode —
+    covers all ``num_classes`` instead)."""
     all_conf, all_boxes = [], []
     for (pconf, preg, pcenter), stride in zip(level_preds, STRIDES):
         fh, fw = pconf.shape[0], pconf.shape[1]
@@ -266,7 +294,7 @@ def fcos_decode(level_preds, num_classes, score_threshold, iou_threshold, max_bo
         all_boxes.append(boxes)
     conf = jnp.concatenate(all_conf, 0)
     boxes = jnp.concatenate(all_boxes, 0)
-    c_emit = num_classes - 1  # Q9
+    c_emit = num_classes if emit_all_classes else num_classes - 1  # Q9
     sel_boxes, sel_scores, sel_valid, trunc = nms.per_class_nms(
         boxes, conf[:, :c_emit].T, score_threshold, pre_topk, max_boxes,
         iou_threshold)

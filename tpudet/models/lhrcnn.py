@@ -192,6 +192,7 @@ class LHRCNN(DetectorBase):
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
             self._train_step_fn = train_step  # raw fn, reused by the scan path
             self._train_scan_cache = {}
+        self._augment_split = False  # augment always fused here (base contract)
 
         self._infer_cache = {}
         self._base_pre_topk = int(self.config.get("nms_pre_topk", 100))
@@ -220,6 +221,17 @@ class LHRCNN(DetectorBase):
         return jax.jit(infer)
 
     def train_one_epoch(self, lr):
+        from tpudet.data.device_dataset import DeviceDataset
+
+        if (isinstance(self.train_iterator, DeviceDataset)
+                and self.num_train // self.batch_size > 1
+                and not self.config.get("no_scan_epoch")):
+            # device-resident feed: the base one-dispatch lax.scan epoch (the
+            # per-step path below pays a ~100 ms tunnel round-trip per step —
+            # round-4's LHRCNN-long ran at ~half device rate because of it).
+            # The per-phase rpn_loss/rcnn_loss progress naming is a per-step
+            # nicety; the phase schedule itself is inside the jitted step.
+            return super().train_one_epoch(lr)
         if callable(self.train_initializer):
             self.train_initializer()
         num_iters = self.num_train // self.batch_size
