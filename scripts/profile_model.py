@@ -129,12 +129,130 @@ def profile_model(name, spec, n=10, warmup=3):
           flush=True)
 
 
+def profile_lhrcnn(spec, n=10, warmup=3):
+    """LHRCNN has a custom _compile (two-stage lax.cond loss, no
+    _loss_from_outputs) — mirror its forward_losses stage by stage so the
+    8.1%-MFU step gets a real phase breakdown (round-4 ADVICE + VERDICT #3):
+
+        fwd        trunk apply (backbone + rpn heads + thin feature)
+        +rpn       fwd + rpn matching/sampling loss (both NMS passes)
+        +rcnn      fwd + rpn sampling + RoI crop + dense head + rcnn loss
+        grad@rpn   value_and_grad of the full loss with is_rpn=True
+        grad@rcnn  ... with is_rpn=False
+        step       the production jitted train step
+    """
+    import jax
+    import jax.numpy as jnp
+    from tpudet.models.lhrcnn import LHRCNN, LHRCNNNet
+    from tpudet.heads import lhrcnn as lh
+    from tpudet.models.base import global_l2
+    from tpudet.ops import losses as loss_ops
+
+    h, w = spec["shape"]
+    batch = spec["batch"]
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32)
+    gt = -np.ones((batch, 60, 5), np.float32)
+    gt[:, 0] = [h * 0.5, w * 0.5, h * 0.3, w * 0.25, 7]
+    gt[:, 1] = [h * 0.2, w * 0.7, h * 0.15, w * 0.2, 2]
+
+    def batches():
+        while True:
+            yield images, gt
+
+    provider = {"data_shape": [h, w, 3], "num_train": batch * 10**9,
+                "num_val": 0, "train_generator": (lambda: None, batches()),
+                "val_generator": None}
+    print(f"=== LHRCNN (batch {batch} @ {h}x{w}) building...", flush=True)
+    model = LHRCNN(spec["config"], provider)
+    dimages, dgt = model._to_device(images, gt)
+    net, wd = model.net, model.weight_decay
+    anc = model.anchors
+    c_total = model.num_classes
+    sample_weight = model._sample_weight()
+
+    def fwd(params, bstats, imgs):
+        x = model._preprocess(imgs.astype(jnp.float32))
+        return net.apply({"params": params, "batch_stats": bstats}, x, True,
+                         mutable=["batch_stats"])
+
+    def rpn_part(params, bstats, imgs, g):
+        (rpn_conf, rpn_loc, rcnn_feat), mut = fwd(params, bstats, imgs)
+        pyx, phw, pconf = model._split_rpn(rpn_conf, rpn_loc)
+        sample = lh.rpn_loss_and_sample(pyx, phw, pconf, anc, g)
+        rpn_loss = loss_ops.weighted_mean(sample.rpn_loss, sample_weight)
+        return rpn_loss, (sample, rcnn_feat, mut)
+
+    def full_loss(params, bstats, imgs, g, is_rpn):
+        rpn_loss, (sample, rcnn_feat, mut) = rpn_part(params, bstats, imgs, g)
+
+        def roi_fn(feats):
+            return net.apply({"params": params, "batch_stats": bstats}, feats,
+                             method=LHRCNNNet.roi_head)
+
+        rcnn_loss = lh.rcnn_losses(roi_fn, rcnn_feat.astype(jnp.float32), sample,
+                                   float(h), float(w), c_total,
+                                   sample_weight=sample_weight)
+        rpn_total = rpn_loss + wd * global_l2({"fe": params["feature_extractor"],
+                                               "rpn": params["rpn"]})
+        rcnn_total = rcnn_loss + wd * global_l2(params["rcnn"])
+        loss = jax.lax.cond(is_rpn, lambda: rpn_total, lambda: rcnn_total)
+        return loss, mut["batch_stats"]
+
+    jfwd = jax.jit(lambda p, b, i: fwd(p, b, i)[0])
+    jrpn = jax.jit(lambda p, b, i, g: rpn_part(p, b, i, g)[0])
+    jfull = jax.jit(lambda p, b, i, g, r: full_loss(p, b, i, g, r)[0])
+    jgrad = jax.jit(lambda p, b, i, g, r: jax.value_and_grad(
+        full_loss, has_aux=True)(p, b, i, g, r))  # all outputs live
+
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf).astype(jnp.float32)) if leaf.ndim else float(leaf)
+
+    def timeit(label, fn):
+        out = None
+        for _ in range(warmup):
+            out = fn()
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        sync(out)
+        dt = (time.perf_counter() - t0) / n
+        print(f"  {label:12s} {dt*1e3:8.2f} ms  {batch/dt:8.1f} imgs/s",
+              flush=True)
+        return dt
+
+    p, b = model.params, model.batch_stats
+    t_fwd = timeit("fwd", lambda: jfwd(p, b, dimages))
+    t_rpn = timeit("+rpn", lambda: jrpn(p, b, dimages, dgt))
+    t_full = timeit("+rcnn", lambda: jfull(p, b, dimages, dgt, jnp.bool_(False)))
+    t_gr = timeit("grad@rpn", lambda: jgrad(p, b, dimages, dgt, jnp.bool_(True)))
+    t_gc = timeit("grad@rcnn", lambda: jgrad(p, b, dimages, dgt, jnp.bool_(False)))
+    state = [model.params, model.batch_stats, model.opt_state]
+
+    def full_step():
+        out = model._train_step(state[0], state[1], state[2], dimages, dgt,
+                                jnp.float32(1e-3), jnp.int32(0))
+        state[0], state[1], state[2], loss = out
+        return loss
+
+    t_step = timeit("step", full_step)
+    print(f"  deltas: rpn-sample {1e3*(t_rpn-t_fwd):.2f} ms | roi+rcnn "
+          f"{1e3*(t_full-t_rpn):.2f} ms | bwd@rpn {1e3*(t_gr-t_full):.2f} ms | "
+          f"bwd@rcnn {1e3*(t_gc-t_full):.2f} ms | step-over-grad "
+          f"{1e3*(t_step-t_gc):.2f} ms", flush=True)
+
+
 def main():
     names = sys.argv[1:] or ["YOLOv2"]
     specs = _specs()
     for name in names:
         try:
-            profile_model(name, specs[name])
+            if name == "LHRCNN":
+                profile_lhrcnn(specs[name])
+            else:
+                profile_model(name, specs[name])
         except Exception as e:
             print(f"  {name} FAILED: {e!r}", flush=True)
 

@@ -1,5 +1,7 @@
 """Pallas greedy-NMS kernel: interpret-mode parity vs the TF-semantics oracle."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -126,3 +128,45 @@ def test_zero_area_boxes_terminate():
         max_out=4, iou_threshold=0.5, interpret=True)
     got = np.asarray(sel)[0][np.asarray(valid)[0]]
     assert len(set(got.tolist())) == len(got)  # no duplicates
+
+
+@pytest.fixture
+def pcnms_env():
+    old = os.environ.get("TPUDET_PCNMS_IMPL")
+    yield os.environ
+    if old is None:
+        os.environ.pop("TPUDET_PCNMS_IMPL", None)
+    else:
+        os.environ["TPUDET_PCNMS_IMPL"] = old
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_per_class_nms_batched_matches_vmap(pcnms_env, seed):
+    """The inference decode's class-lockstep path (TPU default since round 5)
+    must agree with the original per-class vmapped formulation on every valid
+    selection (boxes, scores, order)."""
+    from tpudet.ops import nms
+
+    rng = np.random.default_rng(seed)
+    n, c, max_out = 400, 7, 12
+    yx = rng.uniform(0, 80, (n, 2))
+    hw = rng.uniform(4, 40, (n, 2))
+    boxes = jnp.asarray(
+        np.concatenate([yx - hw / 2, yx + hw / 2], -1).astype(np.float32))
+    scores = jnp.asarray(rng.uniform(0, 1, (c, n)).astype(np.float32))
+    class_active = jnp.asarray(rng.uniform(0, 1, (n,)) > 0.2)
+
+    outs = {}
+    for impl in ("vmap", "batched"):
+        pcnms_env["TPUDET_PCNMS_IMPL"] = impl
+        outs[impl] = nms.per_class_nms(boxes, scores, 0.35, 64, max_out, 0.5,
+                                       class_active=class_active)
+    bv, sv, vv, _ = outs["vmap"]
+    bb, sb, vb, trunc_b = outs["batched"]
+    np.testing.assert_array_equal(np.asarray(vv), np.asarray(vb))
+    assert not bool(trunc_b)  # the batched path is exact by construction
+    mask = np.asarray(vv)
+    np.testing.assert_allclose(np.asarray(sv)[mask], np.asarray(sb)[mask],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bv)[mask], np.asarray(bb)[mask],
+                               rtol=1e-6)

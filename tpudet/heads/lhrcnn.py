@@ -343,7 +343,14 @@ def lhrcnn_decode(roi_head_fn, rcnn_feat, pyx, phw, pconf, anc: AnchorSet,
     norm = jnp.asarray([img_h, img_w, img_h, img_w], jnp.float32)
     proposal = jnp.clip(proposal, jnp.zeros((4,)), norm)
     obj = jax.nn.softmax(pconf, -1)[:, 0]
-    sel, sel_valid = nms.greedy_nms(proposal, obj, post_nms_proposal, 0.7)
+    # batched path (batch of 1): on TPU the 500-trip greedy loop runs inside
+    # the VMEM-resident Pallas kernel instead of a 500-iteration XLA fori_loop
+    # over the full ~23k-anchor row (a dominant share of the 258 ms round-4
+    # inference p50)
+    sel_b, sel_valid_b = nms.batched_greedy_nms(
+        proposal[None], obj[None],
+        jnp.full((1,), post_nms_proposal, jnp.int32), post_nms_proposal, 0.7)
+    sel, sel_valid = sel_b[0], sel_valid_b[0]
     proposal = proposal[sel]
     prop_yx2 = (proposal[:, 0:2] + proposal[:, 2:4]) / 2.0
     prop_hw2 = proposal[:, 2:4] - proposal[:, 0:2]

@@ -184,12 +184,43 @@ def per_class_nms(
       ``(boxes [C, max_out, 4], scores [C, max_out], valid [C, max_out],
       truncated bool scalar — True if any class had more candidates above the
       score threshold than ``pre_topk``, i.e. the result may not be exact)``.
+
+    On TPU the classes ride the cross-batch Pallas kernel as its batch axis
+    (ops/pallas/nms_kernel.py): every greedy iteration selects one box PER
+    CLASS in lockstep with the candidate pool resident in VMEM, replacing the
+    vmapped per-class ``fori_loop`` whose sequential small-op iterations
+    dominated single-image decode latency (round-4 BENCH_DETAILS: 218-278 ms
+    p50 on YOLOv3/RetinaNet/FCOS/LHRCNN). The kernel's pre-top-k pool carries
+    its own exact fallback, so this path never truncates (``truncated`` is
+    constant False) and the caller's retry loop is a no-op. ``TPUDET_PCNMS_IMPL=
+    vmap|batched`` overrides the platform dispatch.
     """
     active = class_scores >= score_threshold
     if class_active is not None:
         active = jnp.logical_and(active, class_active[None, :])
-    fn = partial(
-        topk_then_nms, pre_topk=pre_topk, max_out=max_out, iou_threshold=iou_threshold
-    )
-    b, s, v, trunc = jax.vmap(lambda s_, a: fn(boxes, s_, a))(class_scores, active)
-    return b, s, v, jnp.any(trunc)
+
+    def _vmap(boxes, class_scores, active):
+        fn = partial(topk_then_nms, pre_topk=pre_topk, max_out=max_out,
+                     iou_threshold=iou_threshold)
+        b, s, v, trunc = jax.vmap(lambda s_, a: fn(boxes, s_, a))(class_scores,
+                                                                  active)
+        return b, s, v, jnp.any(trunc)
+
+    def _batched(boxes, class_scores, active):
+        c = class_scores.shape[0]
+        masked = jnp.where(active, class_scores, _NEG).astype(jnp.float32)
+        quota = jnp.full((c,), max_out, jnp.int32)
+        sel, valid = batched_greedy_nms(boxes, masked, quota, max_out,
+                                        iou_threshold)
+        sel_boxes = boxes[sel] if boxes.ndim == 2 else \
+            jnp.take_along_axis(boxes, sel[..., None], 1)
+        sel_scores = jnp.take_along_axis(masked, sel, 1)
+        return sel_boxes, sel_scores, valid, jnp.asarray(False)
+
+    forced = os.environ.get("TPUDET_PCNMS_IMPL", "").lower()
+    if forced == "vmap":
+        return _vmap(boxes, class_scores, active)
+    if forced == "batched":
+        return _batched(boxes, class_scores, active)
+    return jax.lax.platform_dependent(boxes, class_scores, active,
+                                      tpu=_batched, default=_vmap)
