@@ -200,27 +200,42 @@ class DeviceDataset:
         s = self._next_cycle_slot()
         self._cycle_pos += 1
         self._pin_count += 1
-        if self._prefetch is not None:
-            ps, t = self._prefetch
-            t.join()  # the overlapped upload for this (or a later) pin
+        rotation_due = bool(self._rotate_every
+                            and self._pin_count % self._rotate_every == 0)
+        if self._prefetch is not None and (rotation_due
+                                           or self._prefetch[0] == s):
+            # join only when the refreshed slot is needed (pinned now, or its
+            # rotation pin arrived) — joining earlier would forfeit overlap
+            _, t = self._prefetch
+            t.join()
             self._prefetch = None
-            prefetched = ps == s
-        else:
-            prefetched = False
-        if (not prefetched and self._rotate_every and self._pool
-                and self._pin_count % self._rotate_every == 0):
+            # a joined prefetch IS this period's rotation (pool turnover +
+            # upload already happened), whichever slot it landed on
+            rotation_due = False
+        if rotation_due and self._pool:
             self._refresh_slot(s)
         self._pin = s
         self._pin_draws = 0
-        # double-buffer: if the NEXT pin is due a rotation refresh, start its
-        # upload now so it rides alongside the scan dispatches on this pin
-        if (self._rotate_every and self._pool and self.k_chunks > 1
-                and (self._pin_count + 1) % self._rotate_every == 0):
-            ns = self._next_cycle_slot()
-            if ns != s:
-                t = self._refresh_slot(ns, background=True)
-                if t is not None:
-                    self._prefetch = (ns, t)
+        # double-buffer, started EARLY: the slot that will be pinned at the
+        # next rotation pin is knowable while that pin is still inside the
+        # current cycle round (each slot appears once per round, so it cannot
+        # be pinned before its rotation turn). Kicking the refresh up to
+        # rotate_every-1 pins ahead gives the ~chunk_bytes memmap read +
+        # tunnel upload several chunks of scan time to hide in, instead of
+        # one (round-5 measurement: rotation chunks still blocked 30-60 s
+        # with a one-pin lookahead; median compute chunk is 5.5 s).
+        if (self._prefetch is None and self._rotate_every and self._pool
+                and self.k_chunks > 1):
+            nxt = ((self._pin_count // self._rotate_every) + 1) \
+                * self._rotate_every
+            ahead = nxt - self._pin_count  # pins until the next rotation pin
+            look = self._cycle_pos + ahead - 1
+            if look < self.k_chunks:  # rotation pin within the current round
+                ns = int(self._cycle[look])
+                if ns != s:
+                    t = self._refresh_slot(ns, background=True)
+                    if t is not None:
+                        self._prefetch = (ns, t)
 
     def _draw_from_pinned(self, k: int) -> np.ndarray:
         s = self._pin
@@ -429,6 +444,9 @@ class DeviceDataset:
 
     def reset(self):  # reference initializer contract: reshuffle + restart
         if self._chunked:
+            if self._prefetch is not None:  # settle the in-flight refresh
+                self._prefetch[1].join()
+                self._prefetch = None
             self._slot_pos = [self.chunk_rows] * self.k_chunks
             self._cycle_pos = self.k_chunks  # re-deal the chunk cycle
             self._pin = None
