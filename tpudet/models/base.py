@@ -387,9 +387,17 @@ class DetectorBase:
         compiled ``pre_topk`` (possible at the low thresholds mAP runs use), the
         decode reports truncation and is retried with a doubled ``pre_topk``
         (each size compiles once and is cached) until exact."""
-        images = np.ascontiguousarray(images, np.float32)  # inference keeps f32
+        images = np.ascontiguousarray(images, np.float32)  # inference math is f32
         if self.data_format == "channels_first":
             images = images.transpose(0, 2, 3, 1)
+        # Lossless uint8 transfer: decoded images are integral 0..255 pixels in
+        # a float array; sending them as uint8 quarters the host->device bytes
+        # (~90 ms of a 500^2 image's p50 through the tunnel is the transfer) and
+        # the on-device f32 cast restores the EXACT same values. Non-integral
+        # or out-of-range inputs keep the f32 path, so this is bit-exact always.
+        if (images.size and images.min() >= 0.0 and images.max() <= 255.0
+                and not np.any(images != np.floor(images))):
+            images = images.astype(np.uint8)
         images = jnp.asarray(images)
         pre_topk = self._base_pre_topk
         while True:

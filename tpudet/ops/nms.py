@@ -62,7 +62,9 @@ def greedy_nms(
         suppress = jnp.logical_and(ok, iou > iou_threshold)
         suppress = suppress.at[j].set(ok)
         avail_scores = jnp.where(suppress, _NEG, avail_scores)
-        sel_idx = sel_idx.at[i].set(j.astype(jnp.int32))
+        # invalid slots store 0, matching the Pallas kernels (callers mask by
+        # ``valid``; identical filler keeps the paths bit-comparable)
+        sel_idx = sel_idx.at[i].set(jnp.where(ok, j.astype(jnp.int32), 0))
         sel_valid = sel_valid.at[i].set(ok)
         return avail_scores, sel_idx, sel_valid
 

@@ -170,11 +170,18 @@ def batched_greedy_nms_pallas(boxes, scores, num_select, max_out: int,
         r = -(-n // 128)
         n_pad = r * 128
         pad = n_pad - n
-        # chunk the batch to ~8 MB of live VMEM (≈10 [C, r, 128] f32 arrays),
-        # sized so the padded batch is minimal
+        # chunk the batch to ~8 MB of live VMEM (≈10 [C, r, 128] f32 arrays).
+        # Mosaic requires a 2D block's second-minor dim to be a multiple of 8
+        # OR equal to the array dim, so either the whole batch is one program
+        # (block == array, unconstrained) or chunks are multiples of 8 (the
+        # 8 MB budget may then be exceeded up to 8x at very wide rows — still
+        # far under VMEM).
         chunk_max = int(max(1, (8 * 2 ** 20) // (10 * r * 128 * 4)))
-        grid = -(-b // min(b, chunk_max))
-        chunk = -(-b // grid)
+        if b <= chunk_max:
+            grid, chunk = 1, b
+        else:
+            chunk = max(8, (chunk_max // 8) * 8)
+            grid = -(-b // chunk)
         b_pad = grid * chunk
         scores = jnp.pad(scores.astype(jnp.float32),
                          ((0, b_pad - b), (0, pad)), constant_values=_NEG)
@@ -219,6 +226,12 @@ def batched_greedy_nms_pretopk(boxes, scores, num_select, max_out: int,
     advances in ONE grid program and each select/suppress iteration moves KBs
     instead of MBs (the mining NMS was 6.1 ms of the SSD300 train step at
     N=8828 — scripts/profile_ssd2.py, .convergence/queue7.log).
+
+    The fallback runs the XLA vmapped greedy loop at FULL width, not the
+    Pallas kernel: at inference widths (e.g. RetinaNet's 57k anchors, r=448
+    lane rows) the full-width kernel's VMEM working set exceeds the 16 MB
+    scoped-vmem stack limit (measured 17.55M, round-5), and the fallback is
+    the rare-exactness path where throughput doesn't matter.
     """
     n = scores.shape[-1]
     pool = max(2 * max_out, 512)
@@ -240,8 +253,17 @@ def batched_greedy_nms_pretopk(boxes, scores, num_select, max_out: int,
     sel_g = jnp.where(val, jnp.take_along_axis(top_i, sel_p, 1), 0)
 
     def _full(_):
-        return batched_greedy_nms_pallas(boxes, scores, num_select, max_out,
-                                         iou_threshold, interpret)
+        from tpudet.ops import nms as nms_ops
+
+        if boxes.ndim == 2:
+            return jax.vmap(
+                lambda s_, ns_: nms_ops.greedy_nms(boxes, s_, max_out,
+                                                   iou_threshold, num_select=ns_)
+            )(scores, num_select)
+        return jax.vmap(
+            lambda b_, s_, ns_: nms_ops.greedy_nms(b_, s_, max_out,
+                                                   iou_threshold, num_select=ns_)
+        )(boxes, scores, num_select)
 
     return jax.lax.cond(inexact, _full, lambda _: (sel_g, val), 0)
 
