@@ -26,6 +26,39 @@ class TestCropAndResize:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+
+    def test_mm_impl_matches_gather(self):
+        """The TPU matmul formulation == the gather formulation (values AND
+        gradients), incl. border clips and out-of-frame extrapolation zeros."""
+        import jax
+        from tpudet.ops.roi import _crop_gather, _crop_mm
+
+        rng = np.random.default_rng(3)
+        feat = jnp.asarray(rng.normal(size=(22, 35, 16)).astype(np.float32))
+        boxes = np.concatenate([
+            rng.uniform(-0.2, 1.2, (30, 2)),
+            rng.uniform(-0.2, 1.2, (30, 2)),
+        ], -1).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2])
+        boxes = jnp.asarray(boxes)
+        got = _crop_mm(feat, boxes, 7)
+        want = _crop_gather(feat, boxes, 7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_mm(f, b):
+            return jnp.sum(jnp.sin(_crop_mm(f, b, 7)))
+
+        def loss_g(f, b):
+            return jnp.sum(jnp.sin(_crop_gather(f, b, 7)))
+
+        gm = jax.grad(loss_mm, argnums=(0, 1))(feat, boxes)
+        gg = jax.grad(loss_g, argnums=(0, 1))(feat, boxes)
+        for a, b_ in zip(gm, gg):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestAnchors:
     def test_border_filter(self):
         anc, keep = lh.build_anchors(4, 4, 32.0, 128, 128)
