@@ -308,7 +308,7 @@ def model_specs():
                          _common({"batch_size": 32,
                                   "data_shape": [700, 1100, 3],
                                   "chunk_bytes": 13 * 10**8, "rotate_every": 3,
-                                  "max_bytes": 6 * 10**9,
+                                  "max_bytes": 45 * 10**8,
                                   "gt_pad": 24, "loss_sync_every": 2,
                                   "is_pretraining": False,
                                   "rpn_first_step": 10000,

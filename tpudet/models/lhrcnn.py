@@ -155,7 +155,11 @@ class LHRCNN(DetectorBase):
                 return net.apply({"params": params, "batch_stats": bstats}, feats,
                                  method=LHRCNNNet.roi_head)
 
-            rcnn_loss = lh.rcnn_losses(roi_fn, rcnn_feat.astype(jnp.float32), sample,
+            # rcnn_feat keeps its compute dtype: under bf16 the RoI einsum-crop
+            # runs on bf16 (halving the [N,S,H,C] contraction intermediate —
+            # the f32 form OOM'd the bs32 reference config); f32 models still
+            # crop in f32 (loss-parity harness unchanged)
+            rcnn_loss = lh.rcnn_losses(roi_fn, rcnn_feat, sample,
                                        float(h), float(w), c_total,
                                        sample_weight=sample_weight)
             fe_rpn_l2 = global_l2({"fe": params["feature_extractor"],

@@ -64,7 +64,10 @@ def _crop_gather(feat, boxes, size):
            + gather(y1i, x1i) * fx[:, None, :, None])
     out = top * (1 - fy)[:, :, None, None] + bot * fy[:, :, None, None]
     valid = (vy[:, :, None] & vx[:, None, :]).astype(out.dtype)
-    return out * valid[..., None]
+    out = out * valid[..., None]
+    # bf16 features keep a bf16 result (matches the mm branch's dtype — the
+    # platform_dependent branches must agree); f32 in, f32 out as before
+    return out.astype(feat.dtype) if feat.dtype == jnp.bfloat16 else out
 
 
 def _interp_matrix(c0, c1, frac, valid, limit):
@@ -78,13 +81,23 @@ def _interp_matrix(c0, c1, frac, valid, limit):
 
 def _crop_mm(feat, boxes, size):
     h, w, _ = feat.shape
-    ys, xs = _grid(feat, boxes, size)
+    ys, xs = _grid(feat.astype(jnp.float32), boxes, size)
     y0, y1i, fy, vy = _sample_axis(ys, h)
     x0, x1i, fx, vx = _sample_axis(xs, w)
     wy = _interp_matrix(y0, y1i, fy, vy, h)            # [N, S, H]
     wx = _interp_matrix(x0, x1i, fx, vx, w)            # [N, S, W]
-    feat = feat.astype(jnp.float32)
+    if feat.dtype == jnp.bfloat16:
+        # bf16 features stay bf16 through the contraction (MXU accumulates
+        # f32; the [N, S, H, C] intermediate halves — at LH-RCNN's bs32
+        # reference config the f32 form was ~3.7 GB and OOM'd the chip).
+        # Each output sums <=4 corner terms, so bf16 costs only the input
+        # rounding the features already carry.
+        t = jnp.einsum("njw,hwc->njhc", wx.astype(jnp.bfloat16), feat,
+                       preferred_element_type=jnp.bfloat16)
+        return jnp.einsum("nih,njhc->nijc", wy.astype(jnp.bfloat16), t,
+                          preferred_element_type=jnp.bfloat16)
     hi = jax.lax.Precision.HIGHEST
+    feat = feat.astype(jnp.float32)
     t = jnp.einsum("njw,hwc->njhc", wx, feat, precision=hi)   # [N, S, H, C]
     return jnp.einsum("nih,njhc->nijc", wy, t, precision=hi)  # [N, S, S, C]
 
