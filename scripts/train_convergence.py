@@ -299,10 +299,15 @@ def model_specs():
                             [(0.01, 0.1), (0.89, 1.0), (0.07, 0.1),
                              (0.03, 0.01)]),
         # LH-RCNN at the reference's bs32 contract (round-4 weak #5 flagged the
-        # silent bs8 deviation), 24k steps, 4-phase boundaries scaled 2x from
-        # the 12k leg (reference proportions 60k/40k/60k/rest, testlhrcnn.py).
+        # silent bs8 deviation). Phase boundaries keep the reference 4-phase
+        # proportions (testlhrcnn.py: 60k/40k/60k/rest -> 10/6/4/4 of total);
+        # the original 24k-step leg was cut by the round-5 wall clock at step
+        # 2020 (rpn phase, ckpt-2020) — this 8k-step total resumes that ckpt
+        # (2020 rpn steps < the 3350 rpn_first boundary, so the trained state
+        # maps onto the shortened schedule exactly) and still carries 3.3x the
+        # samples of the bs8 LHRCNN-long row (256k vs 96k imgs).
         # lr 2x the bs8 value (conservative sqrt-ish scaling for the 4x batch).
-        # max_bytes 6G: bs32 activations at 700x1100 need the HBM the bs8 run
+        # max_bytes 4.5G: bs32 activations at 700x1100 need the HBM the bs8 run
         # gave to residency.
         "LHRCNN-long2": ("tpudet.models.lhrcnn.LHRCNN", (700, 1100),
                          _common({"batch_size": 32,
@@ -311,11 +316,11 @@ def model_specs():
                                   "max_bytes": 45 * 10**8,
                                   "gt_pad": 24, "loss_sync_every": 2,
                                   "is_pretraining": False,
-                                  "rpn_first_step": 10000,
-                                  "rcnn_first_step": 16000,
-                                  "rpn_second_step": 20000,
+                                  "rpn_first_step": 3350,
+                                  "rcnn_first_step": 5350,
+                                  "rpn_second_step": 6680,
                                   "post_nms_proposal": 500}),
-                         6e-4, 24000,
+                         6e-4, 8000,
                          [(0.03, 0.1), (0.80, 1.0), (0.17, 0.1)]),
         # PFPNetR parity with its RefineDet sibling (round-4 VERDICT #5): the
         # full reference data contract (pad 60 + split-dispatch augmentation,
